@@ -1,0 +1,121 @@
+"""Parity tests for the ms-deform-attn op.
+
+Oracle: torch ``F.grid_sample``-based multi-scale deformable attention — the
+same reference math the upstream CUDA kernel is validated against
+(``third_party/mmcv/tests/test_ops/test_ms_deformable_attn.py:73``).
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pavenet_tpu.ops import ms_deform_attn_xla
+
+SHAPES = ((6, 9), (4, 6), (2, 3))
+
+
+def torch_oracle(value, shapes, locs, weights):
+    import torch
+    import torch.nn.functional as F
+
+    value = torch.from_numpy(value)
+    locs = torch.from_numpy(locs)
+    weights = torch.from_numpy(weights)
+    bs, _, nh, d = value.shape
+    _, q, _, L, P, _ = locs.shape
+    splits = [h * w for h, w in shapes]
+    value_list = value.split(splits, dim=1)
+    grids = 2 * locs - 1
+    sampled = []
+    for lvl, (h, w) in enumerate(shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(
+            bs * nh, d, h, w)
+        g = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)
+        sampled.append(s)
+    w_ = weights.transpose(1, 2).reshape(bs * nh, 1, q, L * P)
+    out = (torch.stack(sampled, dim=-2).flatten(-2) * w_).sum(-1)
+    return out.view(bs, nh * d, q).transpose(1, 2).numpy()
+
+
+def make_inputs(seed=0, bs=2, q=7, nh=2, d=4, P=3, dtype=np.float32):
+    rng = np.random.RandomState(seed)
+    n = sum(h * w for h, w in SHAPES)
+    L = len(SHAPES)
+    value = rng.randn(bs, n, nh, d).astype(dtype)
+    locs = rng.rand(bs, q, nh, L, P, 2).astype(dtype) * 1.2 - 0.1  # some OOB
+    w = rng.rand(bs, q, nh, L, P).astype(dtype)
+    w = w / w.reshape(bs, q, nh, -1).sum(-1).reshape(bs, q, nh, 1, 1)
+    return value, locs, w
+
+
+def test_forward_matches_torch_grid_sample():
+    value, locs, w = make_inputs()
+    got = np.asarray(ms_deform_attn_xla(value, SHAPES, locs, w))
+    want = torch_oracle(value, SHAPES, locs, w)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_out_of_range_is_zero():
+    value, locs, w = make_inputs()
+    locs = np.full_like(locs, 5.0)  # every tap far outside every level
+    got = np.asarray(ms_deform_attn_xla(value, SHAPES, locs, w))
+    np.testing.assert_allclose(got, 0.0, atol=1e-7)
+
+
+def test_gradients_match_torch():
+    import torch
+    import torch.nn.functional as F
+
+    value, locs, w = make_inputs(seed=1, bs=1, q=4)
+
+    def loss_jax(v, l, a):
+        out = ms_deform_attn_xla(v, SHAPES, l, a)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size,
+                                                dtype=out.dtype)
+                                     .reshape(out.shape)))
+
+    gv, gl, ga = jax.grad(loss_jax, argnums=(0, 1, 2))(value, locs, w)
+
+    tv = torch.tensor(value, requires_grad=True)
+    tl = torch.tensor(locs, requires_grad=True)
+    ta = torch.tensor(w, requires_grad=True)
+    bs, _, nh, d = value.shape
+    q = locs.shape[1]
+    splits = [h * w_ for h, w_ in SHAPES]
+    value_list = tv.split(splits, dim=1)
+    grids = 2 * tl - 1
+    sampled = []
+    for lvl, (h, w_) in enumerate(SHAPES):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(
+            bs * nh, d, h, w_)
+        g = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)
+        sampled.append(
+            F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False))
+    w2 = ta.transpose(1, 2).reshape(bs * nh, 1, q, len(SHAPES) * 3)
+    out = ((torch.stack(sampled, dim=-2).flatten(-2) * w2).sum(-1)
+           .view(bs, nh * d, q).transpose(1, 2))
+    cosw = torch.cos(torch.arange(out.numel(), dtype=out.dtype)
+                     .reshape(out.shape))
+    (out * cosw).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    # location grads can disagree exactly on bilinear cell boundaries;
+    # inputs are random so boundaries have measure zero.
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_runs_and_is_close():
+    value, locs, w = make_inputs()
+    out32 = np.asarray(ms_deform_attn_xla(value, SHAPES, locs, w))
+    out16 = np.asarray(
+        ms_deform_attn_xla(value.astype(jnp.bfloat16), SHAPES,
+                           locs.astype(jnp.bfloat16),
+                           w.astype(jnp.bfloat16))).astype(np.float32)
+    assert np.abs(out16 - out32).max() < 0.1
