@@ -1,0 +1,310 @@
+"""PAVE-Net detector: backbone + neck + video pose head + losses + test.
+
+Rebuilds ``opera/models/detectors/videoposev1.py`` (thin DETR-style wrapper)
+together with the loss assembly of
+``opera/models/dense_heads/videopose_head_mul_frames.py:794-1306`` and the
+inference post-processing (``:1371-1536``).  Everything — matching included —
+runs inside one jitted apply over statically padded batches; with
+``num_frames=1`` this is the PETR single-frame detector core.
+
+Batch dict contract (all static shapes):
+    img:          (B, T, H, W, 3) float32, normalized
+    img_shape:    (B, 2) int32 (valid h, w) before padding
+    scale_factor: (B, 2) float32 (w_scale, h_scale) test-time rescale
+    gt_keypoints: (B, G, K, 3) xyv, unnormalized (train)
+    gt_areas:     (B, G) float32 (train)
+    gt_valid:     (B, G) bool (train)
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..backbones.resnet import ResNet
+from ..necks.channel_mapper import ChannelMapper
+from ..dense_heads.videopose_head import VideoPoseHead
+from ..losses.focal_loss import sigmoid_focal_loss
+from ..losses.oks_loss import OKS_SIGMAS
+from ..losses.rle_loss import rle_loss
+from ...core.assigner import pose_hungarian_assign, build_pose_targets
+from ...ops.nms import oks_nms_keep
+
+
+class VideoPoseDetector(nn.Module):
+    """Flagship video model (production: T=3, K=15, R50, PoseTrack)."""
+    num_frames: int = 3
+    num_keypoints: int = 15
+    num_classes: int = 1
+    num_query: int = 300
+    max_gt: int = 30
+    backbone_depth: int = 50
+    backbone_out_indices: Tuple[int, ...] = (1, 2, 3)
+    embed_dims: int = 256
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 3
+    num_refine_layers: int = 2
+    max_per_img: int = 20
+    oks_nms_thr: float = 0.45
+    # loss weights (production config ``2025_2_13...posetrack17.py:113-137``)
+    loss_cls_weight: float = 0.5
+    loss_kpt_weight: float = 1.0
+    loss_kpt_rpn_weight: float = 1.0
+    loss_kpt_refine_weight: float = 1.0
+    cls_cost_weight: float = 2.0
+    kpt_cost_weight: float = 70.0
+    oks_cost_weight: float = 7.0
+    focal_gamma: float = 2.0
+    focal_alpha: float = 0.25
+    impl: str = "xla"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(depth=self.backbone_depth,
+                               out_indices=self.backbone_out_indices,
+                               dtype=self.dtype, name="backbone")
+        self.neck = ChannelMapper(out_channels=self.embed_dims, num_outs=4,
+                                  dtype=self.dtype, name="neck")
+        self.head = VideoPoseHead(
+            num_classes=self.num_classes,
+            num_frames=self.num_frames,
+            num_keypoints=self.num_keypoints,
+            num_query=self.num_query,
+            embed_dims=self.embed_dims,
+            num_encoder_layers=self.num_encoder_layers,
+            num_decoder_layers=self.num_decoder_layers,
+            num_refine_layers=self.num_refine_layers,
+            impl=self.impl, dtype=self.dtype, name="head")
+
+    # ------------------------------------------------------------------
+    def extract_feats(self, img):
+        """(B, T, H, W, 3) -> list of (B, T, h, w, C) pyramid levels.
+
+        Frame axis folded into batch through backbone+neck (reference
+        ``mmdet/models/backbones/resnet.py:634-640``)."""
+        B, T, H, W, _ = img.shape
+        x = self.backbone(img.reshape(B * T, H, W, 3))
+        feats = self.neck(x)
+        return [f.reshape(B, T, *f.shape[1:]) for f in feats]
+
+    @staticmethod
+    def level_masks(img_shape, input_hw, level_shapes):
+        """Per-level padding masks + valid ratios from valid image sizes.
+
+        Nearest-downsample semantics of the reference's
+        ``F.interpolate(img_masks)`` (``videopose_head_mul_frames.py:440``):
+        level pixel (y, x) is valid iff y < img_h * h_l / H.
+        Returns (mlvl_masks [(B,h,w) bool, True=pad], valid_ratios (B,L,2)).
+        """
+        H, W = input_hw
+        img_h = img_shape[:, 0].astype(jnp.float32)
+        img_w = img_shape[:, 1].astype(jnp.float32)
+        masks, ratios = [], []
+        for (h_l, w_l) in level_shapes:
+            yy = jnp.arange(h_l, dtype=jnp.float32)[None, :]
+            xx = jnp.arange(w_l, dtype=jnp.float32)[None, :]
+            row_valid = yy < img_h[:, None] * h_l / H    # (B, h_l)
+            col_valid = xx < img_w[:, None] * w_l / W    # (B, w_l)
+            mask = ~(row_valid[:, :, None] & col_valid[:, None, :])
+            masks.append(mask)
+            ratios.append(jnp.stack(
+                [col_valid.sum(-1) / w_l, row_valid.sum(-1) / h_l], -1))
+        return masks, jnp.stack(ratios, 1)
+
+    def forward_outputs(self, img, img_shape, deterministic=True):
+        feats = self.extract_feats(img)
+        level_shapes = tuple((f.shape[2], f.shape[3]) for f in feats)
+        mlvl_masks, valid_ratios = self.level_masks(
+            img_shape, img.shape[2:4], level_shapes)
+        outs = self.head(feats, mlvl_masks, valid_ratios,
+                         deterministic=deterministic)
+        outs["valid_ratios"] = valid_ratios
+        return outs
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    def __call__(self, batch, train: bool = False):
+        if train:
+            return self.forward_train(batch)
+        return self.forward_test(batch)
+
+    def _assign_batch(self, cls_scores, kpt_preds, batch):
+        """vmapped Hungarian matching for one prediction set."""
+        K = self.num_keypoints
+
+        def single(cls_s, kpt_p, gt_k, gt_a, gt_v, ishape):
+            return pose_hungarian_assign(
+                cls_s, kpt_p.reshape(-1, K, 2), gt_k, gt_a, gt_v, ishape,
+                num_keypoints=K, cls_weight=self.cls_cost_weight,
+                kpt_weight=self.kpt_cost_weight,
+                oks_weight=self.oks_cost_weight)
+
+        return jax.vmap(single)(
+            cls_scores, kpt_preds, batch["gt_keypoints"],
+            batch["gt_areas"], batch["gt_valid"], batch["img_shape"])
+
+    def _targets(self, assign, batch, num_query):
+        return jax.vmap(
+            lambda a, k, ar, s: build_pose_targets(
+                a, k, ar, s, num_query, self.num_classes))(
+                    assign, batch["gt_keypoints"], batch["gt_areas"],
+                    batch["img_shape"])
+
+    def _rle_layer_loss(self, flow, kpt_preds, sigma_preds, targets,
+                        num_valid_kpt, weight):
+        """Gather matched predictions per GT slot and apply the RLE loss."""
+        B = kpt_preds.shape[0]
+        K = self.num_keypoints
+        idx = jnp.maximum(targets.query_idx, 0)           # (B, G)
+        gather = lambda a: jnp.take_along_axis(
+            a.reshape(B, -1, K, 2), idx[..., None, None], axis=1)
+        pred = gather(kpt_preds)
+        sigma = jnp.clip(gather(sigma_preds), 1e-4, None)
+        w = targets.kpt_weights                           # (B, G, K, 2)
+        bar_mu = jnp.where(w > 0, (pred - targets.kpt_targets) / sigma, 0.0)
+        log_phi = flow.log_prob(bar_mu.reshape(-1, 2)).reshape(B, -1, K)
+        return rle_loss(pred, sigma, targets.kpt_targets, w, log_phi,
+                        num_valid_kpt, weight)
+
+    def _cls_loss(self, cls_scores, labels, num_total_pos):
+        avg = jnp.maximum(num_total_pos, 1.0)
+        return sigmoid_focal_loss(
+            cls_scores.reshape(-1, self.num_classes), labels.reshape(-1),
+            gamma=self.focal_gamma, alpha=self.focal_alpha,
+            avg_factor=avg) * self.loss_cls_weight
+
+    def forward_train(self, batch):
+        outs = self.forward_outputs(batch["img"], batch["img_shape"],
+                                    deterministic=False)
+        losses = {}
+        last_targets = None
+
+        # per-decoder-layer losses (reference ``loss_single:932``)
+        D = outs["all_cls_scores"].shape[0]
+        for d in range(D):
+            cls_s = outs["all_cls_scores"][d]
+            kpt_p = outs["all_kpt_preds"][d]
+            sig_p = outs["all_sigma_preds"][d]
+            assign = self._assign_batch(cls_s, kpt_p, batch)
+            targets = self._targets(assign, batch, self.num_query)
+            num_pos = targets.num_pos.sum()
+            num_valid_kpt = jnp.maximum(targets.kpt_weights.sum(), 1.0)
+            prefix = "" if d == D - 1 else f"d{d}."
+            losses[prefix + "loss_cls"] = self._cls_loss(
+                cls_s, targets.labels, num_pos)
+            losses[prefix + "loss_kpt"] = self._rle_layer_loss(
+                self.head.dec_flow, kpt_p, sig_p, targets, num_valid_kpt,
+                self.loss_kpt_weight)
+            if d == D - 1:
+                last_targets = targets
+
+        # encoder (RPN) losses over all tokens
+        # (reference ``loss_single_rpn:1199``)
+        enc_assign = self._assign_batch(
+            outs["enc_cls_scores"], outs["enc_kpt_preds"], batch)
+        enc_targets = self._targets(
+            enc_assign, batch, outs["enc_cls_scores"].shape[1])
+        enc_num_pos = enc_targets.num_pos.sum()
+        enc_valid_kpt = jnp.maximum(enc_targets.kpt_weights.sum(), 1.0)
+        losses["enc_loss_cls"] = self._cls_loss(
+            outs["enc_cls_scores"], enc_targets.labels, enc_num_pos)
+        losses["enc_loss_kpt"] = self._rle_layer_loss(
+            self.head.enc_flow, outs["enc_kpt_preds"],
+            outs["enc_sigma_preds"], enc_targets, enc_valid_kpt,
+            self.loss_kpt_rpn_weight)
+
+        # joint-decoder refinement losses on matched poses
+        # (reference ``forward_refine:569-742``)
+        B = batch["img"].shape[0]
+        K = self.num_keypoints
+        idx = jnp.maximum(last_targets.query_idx, 0)      # (B, G)
+        frame_preds = outs["frame_kpt_preds"]             # (B, T, Q, 2K)
+        ref_poses = jnp.take_along_axis(
+            frame_preds, idx[:, None, :, None], axis=2)   # (B, T, G, 2K)
+        ref_poses = jax.lax.stop_gradient(
+            ref_poses.transpose(0, 2, 1, 3))              # (B, G, T, 2K)
+        refine_kpts, _, refine_sigmas = self.head.forward_refine(
+            outs["memory"], outs["mask_flatten"], outs["valid_ratios"],
+            ref_poses, outs["spatial_shapes"], deterministic=False)
+        num_valid_kpt = jnp.maximum(last_targets.kpt_weights.sum(), 1.0)
+        for r in range(refine_kpts.shape[0]):
+            pred = refine_kpts[r]                         # (B, G, K, 2)
+            sigma = jnp.clip(refine_sigmas[r], 1e-4, None)
+            w = last_targets.kpt_weights
+            bar_mu = jnp.where(
+                w > 0, (pred - last_targets.kpt_targets) / sigma, 0.0)
+            log_phi = self.head.flow.log_prob(
+                bar_mu.reshape(-1, 2)).reshape(B, -1, K)
+            losses[f"d{r}.loss_kpt_refine"] = rle_loss(
+                pred, sigma, last_targets.kpt_targets, w, log_phi,
+                num_valid_kpt, self.loss_kpt_refine_weight)
+
+        losses["loss"] = sum(losses.values())
+        return losses
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+    def forward_test(self, batch, rescale: bool = True,
+                     with_nms: bool = True):
+        """Returns padded detections per image:
+        det_kpts (B, M, K, 3), det_bboxes (B, M, 5), keep (B, M)."""
+        outs = self.forward_outputs(batch["img"], batch["img_shape"],
+                                    deterministic=True)
+        B = batch["img"].shape[0]
+        K = self.num_keypoints
+        M = self.max_per_img
+
+        cls_score = jax.nn.sigmoid(outs["all_cls_scores"][-1][..., 0])
+        scores, bbox_index = jax.lax.top_k(cls_score, M)   # (B, M)
+
+        frame_preds = outs["frame_kpt_preds"]              # (B, T, Q, 2K)
+        ref_poses = jnp.take_along_axis(
+            frame_preds, bbox_index[:, None, :, None], axis=2)
+        ref_poses = ref_poses.transpose(0, 2, 1, 3)        # (B, M, T, 2K)
+
+        refine_kpts, refine_scores, refine_sigmas = self.head.forward_refine(
+            outs["memory"], outs["mask_flatten"], outs["valid_ratios"],
+            jax.lax.stop_gradient(ref_poses), outs["spatial_shapes"],
+            deterministic=True)
+        det_kpts = refine_kpts[-1]                         # (B, M, K, 2)
+        det_sigmas = refine_sigmas[-1]                     # (B, M, K, 2)
+
+        img_h = batch["img_shape"][:, 0].astype(jnp.float32)[:, None, None]
+        img_w = batch["img_shape"][:, 1].astype(jnp.float32)[:, None, None]
+        x = jnp.clip(det_kpts[..., 0] * img_w, 0, img_w)
+        y = jnp.clip(det_kpts[..., 1] * img_h, 0, img_h)
+        det_kpts = jnp.stack([x, y], -1)
+        if rescale:
+            det_kpts = det_kpts / batch["scale_factor"][:, None, None, :]
+
+        # circumscribed-rectangle boxes
+        x1 = det_kpts[..., 0].min(-1)
+        y1 = det_kpts[..., 1].min(-1)
+        x2 = det_kpts[..., 0].max(-1)
+        y2 = det_kpts[..., 1].max(-1)
+        det_bboxes = jnp.stack([x1, y1, x2, y2, scores], -1)
+
+        # Poseur-style rescoring (reference ``get_p:1531``, constants
+        # p_x=0.2, *0.7, power 5 at ``:1466-1491``)
+        p = 1.0 - jnp.exp(-(0.2 / jnp.clip(det_sigmas, 1e-6, None)))
+        p = (p[..., 0] * p[..., 1])[..., None] * 0.7       # (B, M, K, 1)
+        det_kpts = det_kpts * (p ** 5) / (p ** 5 + 1e-10)
+        kpt_scores = scores[:, :, None, None] * p          # (B, M, K, 1)
+        det_kpts = jnp.concatenate([det_kpts, kpt_scores], -1)
+
+        if with_nms:
+            sigmas = jnp.asarray(OKS_SIGMAS[K])
+            areas = ((det_kpts[..., 0].max(-1) - det_kpts[..., 0].min(-1))
+                     * (det_kpts[..., 1].max(-1) - det_kpts[..., 1].min(-1)))
+            keep = jax.vmap(
+                lambda k, s, a: oks_nms_keep(
+                    k[..., :2], s, a, sigmas, self.oks_nms_thr))(
+                        det_kpts, scores, areas)
+        else:
+            keep = jnp.ones((B, M), bool)
+        return dict(det_kpts=det_kpts, det_bboxes=det_bboxes,
+                    det_labels=jnp.zeros((B, M), jnp.int32), keep=keep)

@@ -1,11 +1,17 @@
 """Test env: force CPU with 8 virtual devices so sharding tests run anywhere.
 
-Must run before jax initializes its backends (pytest imports conftest first).
+The machine environment pins ``JAX_PLATFORMS=axon`` (a tunneled TPU whose
+host<->device round trips make eager/test work pathologically slow), so we
+must hard-override — not setdefault — before jax initializes its backends.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
