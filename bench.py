@@ -1,0 +1,82 @@
+"""Benchmark: flagship PAVE-Net 3-frame clip inference on one TPU chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol mirrors the reference's latency setup (test scale (1333, 800)
+keep-ratio -> 800x1333 bucket; ``max_per_img=20`` "set for time counting",
+``configs/videopose/2025-2-13/...posetrack17.py:138``; timing prints around
+``simple_test``, ``opera/models/detectors/videoposev1.py:173-183``).  The
+reference publishes no FPS number (BASELINE.md), so ``vs_baseline`` is
+reported as 1.0 until a measured reference exists.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--height", type=int, default=800)
+    parser.add_argument("--width", type=int, default=1344)
+    parser.add_argument("--batch", type=int, default=1)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from pavenet_tpu.models.zoo import pavenet_r50_frames3, dummy_clip_batch
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = pavenet_r50_frames3(dtype=dtype)
+    rng = np.random.RandomState(0)
+    batch = dummy_clip_batch(rng, batch_size=args.batch,
+                             height=args.height, width=args.width)
+    # stage the batch on device once; the loop measures compute, not the
+    # host->device tunnel
+    batch = jax.device_put(batch)
+    jax.block_until_ready(batch)
+
+    t0 = time.time()
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           batch, train=False))()
+    jax.block_until_ready(variables)
+    init_s = time.time() - t0
+
+    infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    t0 = time.time()
+    out = infer(variables, batch)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    for _ in range(args.warmup):
+        jax.block_until_ready(infer(variables, batch))
+    times = []
+    for _ in range(args.iters):
+        t0 = time.time()
+        jax.block_until_ready(infer(variables, batch))
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    p50 = float(np.percentile(times, 50))
+    clips_per_sec = args.batch / p50
+
+    print(f"# init {init_s:.1f}s, first-call (compile) {compile_s:.1f}s, "
+          f"p50 {p50*1e3:.1f}ms, mean {times.mean()*1e3:.1f}ms, "
+          f"min {times.min()*1e3:.1f}ms over {args.iters} iters, "
+          f"bucket {args.height}x{args.width}, batch {args.batch}, "
+          f"dtype {args.dtype}", flush=True)
+    print(json.dumps({
+        "metric": "pavenet_r50_frames3_clips_per_sec",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/s/chip",
+        "vs_baseline": 1.0,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Training harness: optimizer groups, grad accumulation, sharded step.
+
+Rebuilds the reference train stack — ``opera/apis/train.py:118-249``
+(optimizer build with ``paramwise_cfg`` lr multipliers),
+``GradientCumulativeOptimizerHook`` (``third_party/mmcv/mmcv/runner/hooks/
+optimizer.py:97``: accumulate 8 iters, clip global norm 0.1, AdamW step) and
+the step lr policy — as an optax chain inside one jitted, mesh-sharded train
+step.
+
+Production parameter groups
+(``configs/videopose/2025-2-13/...posetrack17.py:139-149``):
+    backbone.*            lr_mult 0.1 (stem+stage1 and all BN frozen)
+    *sampling_offsets*    lr_mult 0.1
+    *reference_points*    lr_mult 0.1 (not present in the two-stage model)
+    everything else       lr_mult 1.0
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def _param_label(path: tuple) -> str:
+    keys = [getattr(k, "key", str(k)) for k in path]
+    joined = "/".join(keys)
+    if "backbone" in keys:
+        # frozen pieces: stem + stage 1 + every BatchNorm affine
+        if any(k.startswith(("conv1", "bn1", "layer1_")) for k in keys):
+            return "frozen"
+        if "/bn" in joined or "downsample_bn" in joined:
+            return "frozen"
+        return "backbone"
+    if "sampling_offsets" in keys or "reference_points" in keys:
+        return "slow"
+    return "base"
+
+
+def step_lr_schedule(base_lr: float, steps_per_epoch: int,
+                     decay_epochs=(10,), gamma: float = 0.1):
+    """mmcv StepLrUpdater: multiply by gamma at each decay epoch."""
+    boundaries = {int(e * steps_per_epoch): gamma for e in decay_epochs}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def build_optimizer(params,
+                    learning_rate: Callable | float = 2e-5,
+                    weight_decay: float = 1e-4,
+                    grad_clip: float = 0.1,
+                    accumulate_steps: int = 8,
+                    backbone_lr_mult: float = 0.1,
+                    offsets_lr_mult: float = 0.1):
+    """AdamW with per-group lr multipliers + clip + accumulation."""
+    def adamw(mult):
+        if callable(learning_rate):
+            lr = lambda t: learning_rate(t) * mult
+        else:
+            lr = learning_rate * mult
+        return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=weight_decay)
+
+    labels = jax.tree_util.tree_map_with_path(
+        lambda path, _: _param_label(path), params)
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.multi_transform(
+            {"base": adamw(1.0),
+             "backbone": adamw(backbone_lr_mult),
+             "slow": adamw(offsets_lr_mult),
+             "frozen": optax.set_to_zero()},
+            labels),
+    )
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx
+
+
+def create_train_state(model, batch, seed: int = 0, tx=None,
+                       tx_kwargs: Optional[Dict] = None) -> TrainState:
+    """Initialize params (jitted — eager init is pathologically slow over
+    remote device tunnels) and the optimizer state."""
+    key = jax.random.PRNGKey(seed)
+    pkey, dkey, rkey = jax.random.split(key, 3)
+
+    variables = jax.jit(
+        lambda: model.init({"params": pkey, "dropout": dkey}, batch,
+                           train=True))()
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if tx is None:
+        tx = build_optimizer(params, **(tx_kwargs or {}))
+    opt_state = jax.jit(tx.init)(params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state,
+                      rng=rkey), tx
+
+
+def make_train_step(model, tx, mesh=None, axis_name: str = "data",
+                    donate: bool = True):
+    """Build the jitted (optionally mesh-sharded) train step.
+
+    Batch axis sharded over the mesh; state replicated.  Matching, losses
+    and the optimizer all run inside the single jit — no host round trips
+    (the reference crossed to CPU per image per decoder layer for scipy
+    Hungarian; SURVEY.md §3.1).
+    """
+    def step_fn(state: TrainState, batch):
+        rng, dropout_key = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            losses = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, rngs={"dropout": dropout_key})
+            return losses["loss"], losses
+
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, rng=rng)
+        return new_state, losses
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(axis_name))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,) if donate else ())
