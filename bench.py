@@ -49,25 +49,41 @@ def main():
     init_s = time.time() - t0
 
     infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+
+    def sync(out):
+        # block_until_ready is a no-op over the axon tunnel; an actual
+        # value fetch is the only reliable sync point
+        return float(np.asarray(out["det_bboxes"][0, 0, 4]))
+
     t0 = time.time()
-    out = infer(variables, batch)
-    jax.block_until_ready(out)
+    sync(infer(variables, batch))
     compile_s = time.time() - t0
 
     for _ in range(args.warmup):
-        jax.block_until_ready(infer(variables, batch))
-    times = []
-    for _ in range(args.iters):
+        sync(infer(variables, batch))
+    # measure host round-trip latency to subtract it from the loop time
+    rt = []
+    for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(infer(variables, batch))
-        times.append(time.time() - t0)
-    times = np.asarray(times)
-    p50 = float(np.percentile(times, 50))
-    clips_per_sec = args.batch / p50
+        sync(infer(variables, batch))
+        rt.append(time.time() - t0)
+    single = float(np.median(rt))
+
+    # queue all iterations, sync once at the end: device-side time/iter
+    t0 = time.time()
+    out = None
+    for _ in range(args.iters):
+        out = infer(variables, batch)
+    sync(out)
+    total = time.time() - t0
+    roundtrip = max(single - total / args.iters, 0.0)
+    per_iter = total / args.iters
+    clips_per_sec = args.batch / per_iter
 
     print(f"# init {init_s:.1f}s, first-call (compile) {compile_s:.1f}s, "
-          f"p50 {p50*1e3:.1f}ms, mean {times.mean()*1e3:.1f}ms, "
-          f"min {times.min()*1e3:.1f}ms over {args.iters} iters, "
+          f"device time/clip {per_iter*1e3:.1f}ms "
+          f"(single-call incl. tunnel {single*1e3:.1f}ms, est roundtrip "
+          f"{roundtrip*1e3:.1f}ms) over {args.iters} iters, "
           f"bucket {args.height}x{args.width}, batch {args.batch}, "
           f"dtype {args.dtype}", flush=True)
     print(json.dumps({

@@ -1,0 +1,427 @@
+"""Host-side (numpy/cv2) multi-frame data pipeline.
+
+Rebuilds the reference aug chain — shared-parameter per-clip transforms from
+``opera/datasets/pipelines/video_transforms.py`` (MulResize:20,
+MulRandomFlip:83, MulRandomCrop:148, MulKeypointRandomAffineForFrames3:301)
+and ``mmdet`` loading/photometric/normalize/pad — with the frame count as a
+parameter instead of per-T classes.  Every geometric/photometric parameter
+is sampled once per clip and applied to all frames, exactly as the reference
+does.
+
+The one intentional structural divergence (SURVEY.md §7.3): the reference
+pads with ``size_divisor=1`` (fully dynamic shapes); XLA needs static
+shapes, so ``PadToBucket`` pads to the smallest of a fixed set of resolution
+buckets and records the true ``img_shape`` for the model's masks.
+
+All transforms take and return a ``results`` dict:
+    imgs: list[T] of HxWx3 float32 (RGB)
+    gt_keypoints (G, K, 3), gt_bboxes (G, 4), gt_areas (G,), gt_labels (G,)
+    img_shape, scale_factor, flip_pairs, image_id, ...
+"""
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, results):
+        for t in self.transforms:
+            results = t(results)
+            if results is None:
+                return None
+        return results
+
+
+class LoadClip:
+    """Read the clip's frames (RGB float32)."""
+
+    def __init__(self, to_rgb: bool = True):
+        self.to_rgb = to_rgb
+
+    def __call__(self, results):
+        imgs = []
+        for path in results["frame_files"]:
+            img = cv2.imread(path, cv2.IMREAD_COLOR)
+            if img is None:
+                raise FileNotFoundError(path)
+            if self.to_rgb:
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            imgs.append(img.astype(np.float32))
+        results["imgs"] = imgs
+        results["img_shape"] = imgs[0].shape[:2]
+        results["ori_shape"] = imgs[0].shape[:2]
+        results["scale_factor"] = np.array([1.0, 1.0], np.float32)
+        return results
+
+
+class PhotoMetricDistortion:
+    """mmdet photometric distortion; one parameter draw per clip
+    (reference ``MulPhotoMetricDistortionForFrames3``,
+    ``mmdet/datasets/pipelines/transforms.py:2066``)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results):
+        # draw once, apply to every frame
+        do_bright = random.randint(0, 1)
+        bright = random.uniform(-self.brightness_delta,
+                                self.brightness_delta)
+        mode = random.randint(0, 1)
+        do_contrast = random.randint(0, 1)
+        alpha = random.uniform(self.contrast_lower, self.contrast_upper)
+        do_sat = random.randint(0, 1)
+        sat = random.uniform(self.saturation_lower, self.saturation_upper)
+        do_hue = random.randint(0, 1)
+        hue = random.uniform(-self.hue_delta, self.hue_delta)
+        do_swap = random.randint(0, 1)
+        perm = np.random.permutation(3)
+
+        def distort(img):
+            img = img.copy()
+            if do_bright:
+                img += bright
+            if mode == 1 and do_contrast:
+                img *= alpha
+            hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
+                               cv2.COLOR_RGB2HSV).astype(np.float32)
+            if do_sat:
+                hsv[..., 1] *= sat
+            if do_hue:
+                hsv[..., 0] += hue
+                hsv[..., 0][hsv[..., 0] > 360] -= 360
+                hsv[..., 0][hsv[..., 0] < 0] += 360
+            img = cv2.cvtColor(
+                np.clip(hsv, 0, 255).astype(np.uint8),
+                cv2.COLOR_HSV2RGB).astype(np.float32)
+            if mode == 0 and do_contrast:
+                img *= alpha
+            if do_swap:
+                img = img[..., perm]
+            return img
+
+        results["imgs"] = [distort(img) for img in results["imgs"]]
+        return results
+
+
+class KeypointRandomAffine:
+    """One shared warp matrix for all frames (reference ``:368-416``)."""
+
+    def __init__(self, max_rotate_degree=30.0, max_translate_ratio=0.0,
+                 scaling_ratio_range=(1.0, 1.0), max_shear_degree=0.0,
+                 border_val=(123.675, 116.28, 103.53)):
+        self.max_rotate_degree = max_rotate_degree
+        self.max_translate_ratio = max_translate_ratio
+        self.scaling_ratio_range = scaling_ratio_range
+        self.max_shear_degree = max_shear_degree
+        self.border_val = tuple(border_val)
+
+    def _warp_matrix(self, h, w):
+        center = np.eye(3, dtype=np.float32)
+        center[0, 2] = -w / 2
+        center[1, 2] = -h / 2
+        rad = math.radians(
+            random.uniform(-self.max_rotate_degree, self.max_rotate_degree))
+        rot = np.array([[math.cos(rad), -math.sin(rad), 0],
+                        [math.sin(rad), math.cos(rad), 0],
+                        [0, 0, 1]], np.float32)
+        s = random.uniform(*self.scaling_ratio_range)
+        scale = np.diag([s, s, 1]).astype(np.float32)
+        sx = math.tan(math.radians(random.uniform(
+            -self.max_shear_degree, self.max_shear_degree)))
+        sy = math.tan(math.radians(random.uniform(
+            -self.max_shear_degree, self.max_shear_degree)))
+        shear = np.array([[1, sx, 0], [sy, 1, 0], [0, 0, 1]], np.float32)
+        tx = random.uniform(0.5 - self.max_translate_ratio,
+                            0.5 + self.max_translate_ratio) * w
+        ty = random.uniform(0.5 - self.max_translate_ratio,
+                            0.5 + self.max_translate_ratio) * h
+        trans = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float32)
+        return trans @ shear @ rot @ scale @ center
+
+    def __call__(self, results):
+        h, w = results["imgs"][0].shape[:2]
+        m = self._warp_matrix(h, w)
+        results["imgs"] = [
+            cv2.warpPerspective(img, m, dsize=(w, h),
+                                borderValue=self.border_val)
+            for img in results["imgs"]]
+
+        kpts = results["gt_keypoints"]
+        bboxes = results["gt_bboxes"]
+        G = len(kpts)
+        if G:
+            # bboxes: warp the 4 corners, take the envelope, clip
+            xs = bboxes[:, [0, 0, 2, 2]].reshape(-1)
+            ys = bboxes[:, [1, 3, 3, 1]].reshape(-1)
+            pts = m @ np.vstack([xs, ys, np.ones_like(xs)])
+            pts = pts[:2] / pts[2]
+            xs = pts[0].reshape(G, 4)
+            ys = pts[1].reshape(G, 4)
+            bboxes = np.stack([xs.min(1).clip(0, w), ys.min(1).clip(0, h),
+                               xs.max(1).clip(0, w), ys.max(1).clip(0, h)],
+                              1).astype(np.float32)
+            # keypoints
+            kxy = kpts[..., :2].reshape(-1, 2)
+            pts = m @ np.vstack([kxy[:, 0], kxy[:, 1],
+                                 np.ones(len(kxy))]).astype(np.float32)
+            kxy = (pts[:2] / pts[2]).T.reshape(G, -1, 2)
+            kpts = np.concatenate([kxy, kpts[..., 2:]], -1)
+            # invalidate out-of-image / low-vis joints; drop empty gts
+            # (reference ``filter_gt_keypoints:484-491``)
+            invalid = ((kpts[..., 0] < 0) | (kpts[..., 1] < 0)
+                       | (kpts[..., 0] > w) | (kpts[..., 1] > h)
+                       | (kpts[..., 2] < 0.1))
+            keep = ~invalid.all(1)
+            kpts[invalid] = 0
+            if not keep.any():
+                return None
+            results["gt_keypoints"] = kpts[keep].astype(np.float32)
+            results["gt_bboxes"] = bboxes[keep]
+            results["gt_areas"] = results["gt_areas"][keep]
+            results["gt_labels"] = results["gt_labels"][keep]
+        return results
+
+
+class RandomFlip:
+    """Horizontal flip with left/right keypoint-pair swap
+    (reference ``MulRandomFlip:83-146``)."""
+
+    def __init__(self, flip_ratio=0.5):
+        self.flip_ratio = flip_ratio
+
+    def __call__(self, results):
+        if random.random() >= self.flip_ratio:
+            return results
+        w = results["imgs"][0].shape[1]
+        results["imgs"] = [np.ascontiguousarray(img[:, ::-1])
+                           for img in results["imgs"]]
+        kpts = results["gt_keypoints"]
+        if len(kpts):
+            kpts = kpts.copy()
+            vis = kpts[..., 2] > 0
+            kpts[..., 0] = np.where(vis, w - kpts[..., 0], kpts[..., 0])
+            for a, b in results.get("flip_pairs", ()):
+                kpts[:, [a, b]] = kpts[:, [b, a]]
+            results["gt_keypoints"] = kpts
+            bboxes = results["gt_bboxes"].copy()
+            bboxes[:, [0, 2]] = w - bboxes[:, [2, 0]]
+            results["gt_bboxes"] = bboxes
+        results["flipped"] = True
+        return results
+
+
+class Resize:
+    """Keep-ratio resize to a (long, short) cap, mm-style.
+
+    ``img_scale`` entries are (long_max, short_max)-style (w, h) tuples;
+    ``multiscale_mode``: 'range' samples each dim between the two entries,
+    'value' picks one entry. Keypoints/areas are scaled with the image
+    (reference ``MulResize:20-81``).
+    """
+
+    def __init__(self, img_scale, multiscale_mode="range", keep_ratio=True):
+        if isinstance(img_scale[0], (int, float)):
+            img_scale = [img_scale]
+        self.img_scales = [tuple(s) for s in img_scale]
+        self.multiscale_mode = multiscale_mode
+        self.keep_ratio = keep_ratio
+
+    def _pick_scale(self):
+        if len(self.img_scales) == 1:
+            return self.img_scales[0]
+        if self.multiscale_mode == "value":
+            return random.choice(self.img_scales)
+        # 'range': sample each dim between min and max over the two scales
+        a, b = self.img_scales[0], self.img_scales[1]
+        long_edge = random.randint(min(a[0], b[0]), max(a[0], b[0]))
+        short_edge = random.randint(min(a[1], b[1]), max(a[1], b[1]))
+        return (long_edge, short_edge)
+
+    def __call__(self, results):
+        long_cap, short_cap = self._pick_scale()
+        h, w = results["imgs"][0].shape[:2]
+        sf = min(max(long_cap, short_cap) / max(h, w),
+                 min(long_cap, short_cap) / min(h, w))
+        new_w, new_h = int(w * sf + 0.5), int(h * sf + 0.5)
+        results["imgs"] = [
+            cv2.resize(img, (new_w, new_h),
+                       interpolation=cv2.INTER_LINEAR)
+            for img in results["imgs"]]
+        w_scale = new_w / w
+        h_scale = new_h / h
+        results["img_shape"] = (new_h, new_w)
+        results["scale_factor"] = results.get(
+            "scale_factor", np.ones(2, np.float32)) * np.array(
+                [w_scale, h_scale], np.float32)
+        kpts = results.get("gt_keypoints")
+        if kpts is not None and len(kpts):
+            kpts = kpts.copy()
+            kpts[..., 0] *= w_scale
+            kpts[..., 1] *= h_scale
+            results["gt_keypoints"] = kpts
+            bboxes = results["gt_bboxes"] * np.array(
+                [w_scale, h_scale, w_scale, h_scale], np.float32)
+            results["gt_bboxes"] = bboxes
+            results["gt_areas"] = results["gt_areas"] * w_scale * h_scale
+        return results
+
+
+class RandomCrop:
+    """absolute_range crop shared across frames
+    (reference ``MulRandomCrop:148-299``)."""
+
+    def __init__(self, crop_size=(384, 600), crop_type="absolute_range",
+                 allow_negative_crop=True):
+        self.crop_size = crop_size
+        self.crop_type = crop_type
+        self.allow_negative_crop = allow_negative_crop
+
+    def __call__(self, results):
+        h, w = results["imgs"][0].shape[:2]
+        if self.crop_type == "absolute_range":
+            ch = min(h, random.randint(self.crop_size[0], self.crop_size[1]))
+            cw = min(w, random.randint(self.crop_size[0], self.crop_size[1]))
+        else:
+            ch, cw = min(h, self.crop_size[0]), min(w, self.crop_size[1])
+        y0 = random.randint(0, h - ch)
+        x0 = random.randint(0, w - cw)
+        results["imgs"] = [img[y0:y0 + ch, x0:x0 + cw].copy()
+                           for img in results["imgs"]]
+        results["img_shape"] = (ch, cw)
+
+        kpts = results["gt_keypoints"]
+        if len(kpts):
+            kpts = kpts.copy()
+            kpts[..., 0] -= x0
+            kpts[..., 1] -= y0
+            invalid = ((kpts[..., 0] < 0) | (kpts[..., 1] < 0)
+                       | (kpts[..., 0] > cw) | (kpts[..., 1] > ch)
+                       | (kpts[..., 2] < 0.1))
+            keep = ~invalid.all(1)
+            kpts[invalid] = 0
+            if not keep.any() and not self.allow_negative_crop:
+                return None
+            bboxes = results["gt_bboxes"] - np.array(
+                [x0, y0, x0, y0], np.float32)
+            bboxes[:, [0, 2]] = bboxes[:, [0, 2]].clip(0, cw)
+            bboxes[:, [1, 3]] = bboxes[:, [1, 3]].clip(0, ch)
+            results["gt_keypoints"] = kpts[keep]
+            results["gt_bboxes"] = bboxes[keep]
+            results["gt_areas"] = results["gt_areas"][keep]
+            results["gt_labels"] = results["gt_labels"][keep]
+        return results
+
+
+class Normalize:
+    def __init__(self, mean=(123.675, 116.28, 103.53),
+                 std=(58.395, 57.12, 57.375)):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, results):
+        results["imgs"] = [(img - self.mean) / self.std
+                           for img in results["imgs"]]
+        return results
+
+
+DEFAULT_BUCKETS = ((256, 448), (384, 640), (512, 896), (640, 1088),
+                   (736, 1280), (800, 1344), (896, 1472), (1024, 1664),
+                   (1216, 1216), (1344, 1344))
+
+
+class PadToBucket:
+    """Pad to the smallest static (H, W) bucket that fits.
+
+    Replaces the reference's ``Pad(size_divisor=1)`` dynamic shapes — XLA
+    recompiles per shape, so the pipeline quantizes to a small bucket set
+    and the model masks the padding (it is already mask-aware).
+    """
+
+    def __init__(self, buckets: Sequence[Tuple[int, int]] = DEFAULT_BUCKETS):
+        self.buckets = sorted(buckets, key=lambda b: b[0] * b[1])
+
+    def __call__(self, results):
+        h, w = results["imgs"][0].shape[:2]
+        for bh, bw in self.buckets:
+            if bh >= h and bw >= w:
+                break
+        else:
+            raise ValueError(f"image {h}x{w} exceeds all buckets")
+        results["imgs"] = [
+            np.pad(img, ((0, bh - h), (0, bw - w), (0, 0)))
+            for img in results["imgs"]]
+        results["pad_shape"] = (bh, bw)
+        return results
+
+
+class FormatBatch:
+    """Stack frames -> final per-sample arrays in the model's layout."""
+
+    def __call__(self, results):
+        imgs = np.stack(results["imgs"], 0)  # (T, H, W, 3)
+        out = dict(
+            img=imgs.astype(np.float32),
+            img_shape=np.asarray(results["img_shape"], np.int32),
+            scale_factor=np.asarray(results["scale_factor"], np.float32),
+            image_id=results.get("image_id", -1),
+        )
+        if "gt_keypoints" in results:
+            out.update(
+                gt_keypoints=results["gt_keypoints"].astype(np.float32),
+                gt_areas=results["gt_areas"].astype(np.float32),
+                gt_labels=results["gt_labels"].astype(np.int64),
+            )
+        return out
+
+
+def build_train_pipeline(img_norm_mean=(123.675, 116.28, 103.53),
+                         img_norm_std=(58.395, 57.12, 57.375),
+                         max_rotate_degree=30.0,
+                         flip_ratio=0.5,
+                         scale_range=((400, 1200), (1200, 1200)),
+                         buckets=DEFAULT_BUCKETS) -> Compose:
+    """Production train chain (PoseTrack config, SURVEY.md §2.1):
+    load -> photometric -> shared affine -> flip -> multi-scale resize ->
+    normalize -> bucket pad -> format.  (The AutoAugment crop policy branch
+    is provided by RandomCrop; wiring both policies is config-level.)"""
+    return Compose([
+        LoadClip(),
+        PhotoMetricDistortion(),
+        KeypointRandomAffine(max_rotate_degree=max_rotate_degree,
+                             border_val=img_norm_mean),
+        RandomFlip(flip_ratio),
+        Resize(list(scale_range), multiscale_mode="range"),
+        Normalize(img_norm_mean, img_norm_std),
+        PadToBucket(buckets),
+        FormatBatch(),
+    ])
+
+
+def build_test_pipeline(img_scale=(1333, 800),
+                        img_norm_mean=(123.675, 116.28, 103.53),
+                        img_norm_std=(58.395, 57.12, 57.375),
+                        buckets=DEFAULT_BUCKETS) -> Compose:
+    return Compose([
+        LoadClip(),
+        Resize([img_scale], multiscale_mode="value"),
+        Normalize(img_norm_mean, img_norm_std),
+        PadToBucket(buckets),
+        FormatBatch(),
+    ])
