@@ -1,0 +1,76 @@
+"""Evaluation loop: run inference over a dataset, collect detections, eval.
+
+Rebuilds ``opera/apis/test.py`` (single/multi-gpu test + result collection)
+for the jit world: one compiled inference function per image bucket, padded
+detections filtered on host by the NMS keep mask, results fed to the
+self-contained COCO/PoseTrack evaluators (the reference gathered ranks via
+tmpdir pickles / all_gather; under SPMD the loop shards naturally by
+feeding each host its slice).
+"""
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+import jax
+
+
+def run_inference(model, variables, loader, score_thr: float = 0.0,
+                  logger=None) -> List[dict]:
+    """Returns COCO-style keypoint detection dicts."""
+    infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    detections: List[dict] = []
+    t_total, n_clips = 0.0, 0
+    for batch in loader:
+        feed = {k: batch[k] for k in ("img", "img_shape", "scale_factor")}
+        t0 = time.time()
+        out = jax.tree.map(np.asarray, infer(variables, feed))
+        t_total += time.time() - t0
+        n_clips += len(batch["img"])
+        for b in range(len(batch["img"])):
+            keep = out["keep"][b]
+            kpts = out["det_kpts"][b]          # (M, K, 3)
+            scores = out["det_bboxes"][b, :, 4]
+            for m in np.where(keep)[0]:
+                if scores[m] < score_thr:
+                    continue
+                detections.append(dict(
+                    image_id=int(batch["image_id"][b]),
+                    category_id=1,
+                    keypoints=kpts[m].reshape(-1).astype(float).tolist(),
+                    score=float(scores[m]),
+                ))
+    if logger is not None and n_clips:
+        logger.info(f"inference: {n_clips} clips, "
+                    f"{t_total / n_clips * 1e3:.1f} ms/clip (incl. host)")
+    return detections
+
+
+def evaluate_dataset(dataset, detections: List[dict],
+                     metric: str = "keypoints",
+                     max_dets: int = 30) -> "OrderedDict":
+    """COCO OKS AP + (for PoseTrack) per-joint PCKh AP."""
+    from ..core.eval.coco_keypoint_eval import COCOKeypointEval
+    from ..datasets.coco_api import COCO
+
+    results = OrderedDict()
+    if detections:
+        dt = dataset.coco.load_res(detections)
+        sigmas = None
+        num_k = getattr(dataset, "NUM_KEYPOINTS", 17)
+        from ..models.losses.oks_loss import OKS_SIGMAS
+        sigmas = OKS_SIGMAS.get(num_k)
+        coco_res = COCOKeypointEval(
+            dataset.coco, dt, sigmas=sigmas, max_dets=max_dets).evaluate()
+        results.update({f"coco/{k}": v for k, v in coco_res.items()})
+    if getattr(dataset, "NUM_KEYPOINTS", None) == 15:
+        from ..core.eval.posetrack_eval import (
+            evaluate_posetrack_ap, frames_from_coco)
+        frames = frames_from_coco(dataset.coco, detections)
+        pt = evaluate_posetrack_ap(frames)
+        for k, v in pt.items():
+            if k != "per_joint":
+                results[f"posetrack/{k}"] = v
+    return results

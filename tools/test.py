@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Evaluate a checkpoint on a dataset (reference surface: ``tools/test.py``).
+
+Usage:
+    python tools/test.py <config.py> <checkpoint> [--eval keypoints]
+        [--out results.json] [--cfg-options k=v ...]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a pose model")
+    p.add_argument("config")
+    p.add_argument("checkpoint")
+    p.add_argument("--eval", default="keypoints")
+    p.add_argument("--out", default=None,
+                   help="dump detections json")
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from pavenet_tpu import Config, DictAction
+    from pavenet_tpu.utils import get_root_logger
+    from pavenet_tpu.models.builder import build_detector
+    from pavenet_tpu.registry import DATASETS
+    from pavenet_tpu.datasets.loader import ClipLoader
+    from pavenet_tpu.datasets.pipelines import build_test_pipeline
+    from pavenet_tpu.apis.test import run_inference, evaluate_dataset
+    from pavenet_tpu.apis.train import create_train_state
+    from pavenet_tpu.utils.checkpoint import restore_checkpoint
+    from pavenet_tpu.models.zoo import dummy_clip_batch
+
+    import numpy as np
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(DictAction.parse(args.cfg_options))
+    logger = get_root_logger()
+
+    model = build_detector(cfg.model)
+    test_cfg = dict(cfg.data["test"])
+    test_cfg.pop("pipeline", None)
+    dataset = DATASETS.build(
+        dict(**test_cfg, pipeline=build_test_pipeline()))
+    loader = ClipLoader(dataset, batch_size=1, shuffle=False,
+                        drop_last=False,
+                        num_keypoints=dataset.NUM_KEYPOINTS)
+
+    # initialize a state skeleton, then restore the checkpoint into it
+    rng = np.random.RandomState(0)
+    dummy = dummy_clip_batch(
+        rng, num_frames=model.num_frames, height=256, width=448,
+        num_keypoints=model.num_keypoints, max_gt=model.max_gt, train=True)
+    state, _ = create_train_state(model, dummy, seed=0)
+    state = restore_checkpoint(os.path.abspath(args.checkpoint), state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    detections = run_inference(model, variables, loader, logger=logger)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(detections, f)
+        logger.info(f"wrote {len(detections)} detections to {args.out}")
+    results = evaluate_dataset(dataset, detections)
+    for k, v in results.items():
+        logger.info(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Train a model from a config file (reference surface: ``tools/train.py``).
+
+Usage:
+    python tools/train.py <config.py> [--work-dir D] [--resume-from CKPT]
+        [--auto-resume] [--seed N] [--cfg-options k=v ...] [--synthetic]
+
+Differences from the reference CLI are TPU-native: no --launcher (multi-host
+comes from ``jax.distributed.initialize``), and ``--synthetic`` trains on
+generated data for smoke runs without a dataset on disk.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    # some environments pre-register an accelerator plugin that wins over
+    # the env var; re-assert the user's choice
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a pose model")
+    p.add_argument("config")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--auto-resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="cap total steps (smoke runs)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic data (no dataset required)")
+    p.add_argument("--cfg-options", nargs="+", default=[])
+    return p.parse_args()
+
+
+def synthetic_loader(model_cfg, batch_size, steps, seed=0):
+    from pavenet_tpu.models.zoo import dummy_clip_batch
+    rng = np.random.RandomState(seed)
+    for _ in range(steps):
+        yield dummy_clip_batch(
+            rng, batch_size=batch_size,
+            num_frames=model_cfg.get("num_frames", 3),
+            height=256, width=448,
+            num_keypoints=model_cfg.get("num_keypoints", 15),
+            max_gt=10, train=True)
+
+
+def main():
+    args = parse_args()
+    from pavenet_tpu import Config, DictAction
+    from pavenet_tpu.utils import get_root_logger, LogBuffer, set_random_seed
+
+    cfg = Config.fromfile(args.config)
+    if args.cfg_options:
+        cfg.merge_from_dict(DictAction.parse(args.cfg_options))
+    work_dir = args.work_dir or cfg.get("work_dir") or os.path.join(
+        "work_dirs", os.path.splitext(os.path.basename(args.config))[0])
+    os.makedirs(work_dir, exist_ok=True)
+    logger = get_root_logger(
+        os.path.join(work_dir, f"{time.strftime('%Y%m%d_%H%M%S')}.log"))
+    set_random_seed(args.seed)
+
+    import jax
+    from pavenet_tpu.models.builder import build_detector
+    from pavenet_tpu.apis.train import (
+        build_optimizer, create_train_state, make_train_step,
+        step_lr_schedule)
+    from pavenet_tpu.parallel.mesh import make_mesh, put_batch
+    from pavenet_tpu.utils.checkpoint import (
+        save_checkpoint, restore_checkpoint, find_latest_checkpoint)
+
+    logger.info(f"devices: {jax.devices()}")
+    model = build_detector(cfg.model)
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+
+    data_cfg = cfg.get("data", {})
+    samples_per_gpu = data_cfg.get("samples_per_gpu", 1)
+    batch_size = samples_per_gpu * n_dev
+    max_epochs = cfg.get("runner", {}).get("max_epochs", 20)
+
+    if args.synthetic:
+        steps_per_epoch = 20
+        def epoch_loader(epoch):
+            return synthetic_loader(cfg.model.get("bbox_head", {}),
+                                    batch_size, steps_per_epoch,
+                                    seed=args.seed + epoch)
+        head_cfg = cfg.model.get("bbox_head", {})
+        max_gt, num_k = 10, head_cfg.get("num_keypoints", 15)
+    else:
+        from pavenet_tpu.registry import DATASETS
+        from pavenet_tpu.datasets.loader import ClipLoader
+        from pavenet_tpu.datasets.pipelines import build_train_pipeline
+        train_cfg = dict(data_cfg["train"])
+        train_cfg.pop("pipeline", None)
+        dataset = DATASETS.build(
+            dict(**train_cfg, pipeline=build_train_pipeline()))
+        max_gt = cfg.get("max_gt", 30)
+        num_k = dataset.NUM_KEYPOINTS
+        loader = ClipLoader(dataset, batch_size=batch_size, max_gt=max_gt,
+                            num_keypoints=num_k, seed=args.seed)
+        steps_per_epoch = len(loader)
+        def epoch_loader(epoch):
+            return loader
+
+    opt_cfg = cfg.get("optimizer", {})
+    accum = cfg.get("optimizer_config", {}).get("cumulative_iters", 8)
+    clip = cfg.get("optimizer_config", {}).get("grad_clip", {}).get(
+        "max_norm", 0.1)
+    lr_steps = cfg.get("lr_config", {}).get("step", [10])
+    schedule = step_lr_schedule(opt_cfg.get("lr", 2e-5), steps_per_epoch,
+                                lr_steps)
+
+    first = next(iter(epoch_loader(0)))
+    state, tx = create_train_state(
+        model, first, seed=args.seed,
+        tx_kwargs=dict(learning_rate=schedule,
+                       weight_decay=opt_cfg.get("weight_decay", 1e-4),
+                       grad_clip=clip, accumulate_steps=accum))
+    train_step = make_train_step(model, tx, mesh=mesh)
+
+    start_epoch = 0
+    resume = args.resume_from or (
+        find_latest_checkpoint(work_dir) if args.auto_resume else None)
+    if resume:
+        logger.info(f"resuming from {resume}")
+        state = restore_checkpoint(resume, state)
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+
+    buf = LogBuffer()
+    total = 0
+    log_interval = cfg.get("log_config", {}).get("interval", 40)
+    for epoch in range(start_epoch, max_epochs):
+        for i, batch in enumerate(epoch_loader(epoch)):
+            batch = put_batch(batch, mesh)
+            state, losses = train_step(state, batch)
+            total += 1
+            if total % log_interval == 0 or i == 0:
+                vals = {k: float(v) for k, v in losses.items()}
+                buf.update(vals)
+                buf.average(1)
+                msg = " ".join(f"{k}: {v:.4f}"
+                               for k, v in sorted(buf.output.items()))
+                logger.info(f"epoch {epoch + 1}/{max_epochs} "
+                            f"step {total}: {msg}")
+            if args.max_steps and total >= args.max_steps:
+                break
+        save_checkpoint(
+            work_dir, state, int(state.step),
+            meta=dict(epoch=epoch + 1),
+            max_keep=cfg.get("checkpoint_config", {}).get(
+                "max_keep_ckpts", 20))
+        if args.max_steps and total >= args.max_steps:
+            break
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()
