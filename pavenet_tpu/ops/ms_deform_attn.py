@@ -43,20 +43,31 @@ def _as_static_shapes(spatial_shapes) -> Shapes:
         "slicing and break XLA tiling.")
 
 
-def _bilinear_gather(value_l: jnp.ndarray, H: int, W: int,
-                     loc: jnp.ndarray) -> jnp.ndarray:
-    """Sample one level with bilinear interpolation + zero padding.
+def _rows(v_bh: jnp.ndarray, i_bh: jnp.ndarray) -> jnp.ndarray:
+    """Batched row gather: ``v (BH, N, D)``, ``i (BH, M)`` -> ``(BH, M, D)``.
+
+    Expressed as vmapped fancy indexing so XLA receives one gather whose
+    offset dim is the contiguous D row — NOT ``take_along_axis``, whose
+    index broadcast over D materializes a ``(BH, M, D)`` int32 tensor
+    (gigabytes at encoder scale; it crashed the TPU worker)."""
+    return jax.vmap(lambda v, i: v[i])(v_bh, i_bh)
+
+
+def _bilinear_gather(value_bh: jnp.ndarray, H: int, W: int, start: int,
+                     loc: jnp.ndarray, weight: jnp.ndarray,
+                     out: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate one level's attention-weighted bilinear samples.
 
     Args:
-        value_l: ``(B, H*W, heads, D)`` level tokens.
+        value_bh: ``(B*heads, N_total, D)`` all levels' tokens, head-major.
+        start: token offset of this level.
         loc: ``(B, Q, heads, P, 2)`` xy in [0,1] for this level.
-
-    Returns:
-        ``(B, Q, heads, P, D)`` sampled values.
+        weight: ``(B, Q, heads, P)`` attention weights for this level.
+        out: ``(B*heads, Q, D)`` accumulator.
     """
-    B, _, nheads, D = value_l.shape
-    Q, P = loc.shape[1], loc.shape[3]
-    compute_dtype = value_l.dtype
+    BH, _, D = value_bh.shape
+    B, Q, nheads, P = weight.shape
+    compute_dtype = value_bh.dtype
 
     x = loc[..., 0].astype(jnp.float32) * W - 0.5
     y = loc[..., 1].astype(jnp.float32) * H - 0.5
@@ -66,9 +77,9 @@ def _bilinear_gather(value_l: jnp.ndarray, H: int, W: int,
     ly = (y - y0).astype(compute_dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-
-    out = jnp.zeros((B, Q, nheads, P, D), dtype=compute_dtype)
     one = jnp.asarray(1.0, compute_dtype)
+    attn = weight.astype(compute_dtype)
+
     for dy, dx, wgt in (
             (0, 0, lambda: (one - ly) * (one - lx)),
             (0, 1, lambda: (one - ly) * lx),
@@ -78,13 +89,13 @@ def _bilinear_gather(value_l: jnp.ndarray, H: int, W: int,
         xi = x0i + dx
         yi = y0i + dy
         valid = ((xi >= 0) & (xi < W) & (yi >= 0) & (yi < H))
-        idx = (jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1))
-        # (B, Q, heads, P) -> (B, Q*P, heads, 1) for a token-axis gather.
-        idx_g = idx.transpose(0, 1, 3, 2).reshape(B, Q * P, nheads, 1)
-        tap = jnp.take_along_axis(value_l, idx_g, axis=1)
-        tap = tap.reshape(B, Q, P, nheads, D).transpose(0, 1, 3, 2, 4)
-        w = (wgt() * valid.astype(compute_dtype))[..., None]
-        out = out + tap * w
+        idx = (start + jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1))
+        # (B, Q, heads, P) -> (B*heads, Q*P)
+        idx_bh = idx.transpose(0, 2, 1, 3).reshape(BH, Q * P)
+        tap = _rows(value_bh, idx_bh)                   # (BH, Q*P, D)
+        w = (wgt() * valid.astype(compute_dtype) * attn)
+        w_bh = w.transpose(0, 2, 1, 3).reshape(BH, Q * P, 1)
+        out = out + (tap * w_bh).reshape(BH, Q, P, D).sum(2)
     return out
 
 
@@ -103,15 +114,17 @@ def ms_deform_attn_xla(value: jnp.ndarray,
     assert sum(h * w for h, w in shapes) == N, (
         f"token count mismatch: {shapes} vs {N}")
 
-    out = jnp.zeros((B, Q, nheads, D), dtype=value.dtype)
+    # head-major layout: one contiguous (N, D) table per (batch, head)
+    value_bh = value.transpose(0, 2, 1, 3).reshape(B * nheads, N, D)
+    out = jnp.zeros((B * nheads, Q, D), dtype=value.dtype)
     start = 0
     for lvl, (H, W) in enumerate(shapes):
-        value_l = jax.lax.slice_in_dim(value, start, start + H * W, axis=1)
-        sampled = _bilinear_gather(
-            value_l, H, W, sampling_locations[:, :, :, lvl])
-        w = attention_weights[:, :, :, lvl].astype(value.dtype)[..., None]
-        out = out + (sampled * w).sum(axis=3)
+        out = _bilinear_gather(
+            value_bh, H, W, start,
+            sampling_locations[:, :, :, lvl],
+            attention_weights[:, :, :, lvl], out)
         start += H * W
+    out = out.reshape(B, nheads, Q, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Q, nheads * D)
 
 
