@@ -134,15 +134,21 @@ class ResNet(nn.Module):
 
         outs = []
         planes = 64
+        expansion = 4 if block_name == "bottleneck" else 1
+        in_channels = 64
         for stage, num_blocks in enumerate(stage_blocks):
             stride = 1 if stage == 0 else 2
             for i in range(num_blocks):
+                blk_stride = stride if i == 0 else 1
+                needs_ds = (blk_stride != 1
+                            or in_channels != planes * expansion)
                 x = block_cls(
                     planes=planes,
-                    stride=stride if i == 0 else 1,
-                    downsample=(i == 0),
+                    stride=blk_stride,
+                    downsample=(i == 0 and needs_ds),
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}")(x)
+                in_channels = planes * expansion
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2

@@ -46,6 +46,7 @@ class VideoPoseDetector(nn.Module):
     num_encoder_layers: int = 6
     num_decoder_layers: int = 3
     num_refine_layers: int = 2
+    feedforward_channels: int = 1024
     max_per_img: int = 20
     oks_nms_thr: float = 0.45
     # loss weights (production config ``2025_2_13...posetrack17.py:113-137``)
@@ -76,6 +77,7 @@ class VideoPoseDetector(nn.Module):
             num_encoder_layers=self.num_encoder_layers,
             num_decoder_layers=self.num_decoder_layers,
             num_refine_layers=self.num_refine_layers,
+            feedforward_channels=self.feedforward_channels,
             impl=self.impl, dtype=self.dtype, name="head")
 
     # ------------------------------------------------------------------

@@ -27,16 +27,16 @@ class ChannelMapper(nn.Module):
         for i, x in enumerate(inputs):
             y = nn.Conv(self.out_channels,
                         (self.kernel_size, self.kernel_size),
-                        padding=[(pad, pad)] * 2, dtype=self.dtype,
-                        name=f"conv{i}")(x)
+                        padding=[(pad, pad)] * 2, use_bias=False,
+                        dtype=self.dtype, name=f"conv{i}")(x)
             y = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype,
                              name=f"gn{i}")(y)
             outs.append(y)
         x = inputs[-1]
         for j in range(self.num_outs - len(outs)):
             x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
-                        padding=[(1, 1)] * 2, dtype=self.dtype,
-                        name=f"extra_conv{j}")(x)
+                        padding=[(1, 1)] * 2, use_bias=False,
+                        dtype=self.dtype, name=f"extra_conv{j}")(x)
             x = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype,
                              name=f"extra_gn{j}")(x)
             outs.append(x)

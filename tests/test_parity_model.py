@@ -1,0 +1,199 @@
+"""Detector-level activation parity vs the reference PyTorch model.
+
+Builds the reference ``VideoPoseV1`` (vendored opera/mmdet/mmcv, CPU) at a
+reduced-size config, converts its ``state_dict`` with
+``pavenet_tpu.utils.weight_convert``, runs both models on identical inputs
+and diffs every head output — the SURVEY.md §7.7 parity gate.
+"""
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from reference_oracle import install_stubs, REFERENCE_ROOT
+
+EMBED, NQ, K, T = 64, 20, 15, 3
+ENC_LAYERS, DEC_LAYERS, REF_LAYERS = 2, 2, 1
+H, W = 128, 192
+B = 1
+
+
+def build_reference():
+    install_stubs()
+    for p in (f"{REFERENCE_ROOT}/third_party/mmdetection", REFERENCE_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from opera.models import build_model
+    import opera.models.utils.transformer as ref_tfm
+    from reference_oracle import patch_cpu_fallbacks
+    patch_cpu_fallbacks()
+
+    # the reference's production attention forward contains dead debug
+    # visualization calls (``transformer.py:1820-1830``) that crash on CPU;
+    # neutralize them for oracle use (SURVEY.md 'bug triage').
+    for cls_name in ("MulFramesMultiScaleDeformablePoseAttentionNumFrames3",
+                     "MulFramesMultiScaleDeformablePoseAttentionNumFrames5"):
+        cls = getattr(ref_tfm, cls_name, None)
+        if cls is not None:
+            cls.vis_attention = lambda self, *a, **k: None
+
+    cfg = dict(
+        type='VideoPoseV1',
+        backbone=dict(
+            type='mmdet.ResNet', input_type='mul_frames', depth=18,
+            num_stages=4, out_indices=(1, 2, 3), frozen_stages=1,
+            norm_cfg=dict(type='BN', requires_grad=False), norm_eval=True,
+            style='pytorch'),
+        neck=dict(
+            type='mmdet.ChannelMapper', in_channels=[128, 256, 512],
+            kernel_size=1, out_channels=EMBED, act_cfg=None,
+            norm_cfg=dict(type='GN', num_groups=32), num_outs=4),
+        bbox_head=dict(
+            type='opera.VideoPoseHeadMulFrames',
+            num_frames=T, num_keypoints=K, num_query=NQ, num_classes=1,
+            in_channels=512, sync_cls_avg_factor=True,
+            with_kpt_refine=True, as_two_stage=True,
+            transformer=dict(
+                type='opera.VideoPoseTransformerMulFrames',
+                num_keypoints=K, num_frames=T,
+                two_stage_num_proposals=NQ,
+                encoder=dict(
+                    type='mmcv.DetrTransformerEncoder',
+                    num_layers=ENC_LAYERS,
+                    transformerlayers=dict(
+                        type='mmcv.BaseTransformerLayer',
+                        attn_cfgs=dict(
+                            type='mmcv.MultiScaleDeformableAttention',
+                            embed_dims=EMBED),
+                        ffn_cfgs=dict(type='FFN', embed_dims=EMBED,
+                                      feedforward_channels=128,
+                                      ffn_drop=0.0),
+                        feedforward_channels=128, ffn_dropout=0.0,
+                        operation_order=('self_attn', 'norm', 'ffn',
+                                         'norm'))),
+                decoder=dict(
+                    type='opera.VideoPoseTransformerDecoderV2',
+                    num_keypoints=K, num_layers=DEC_LAYERS,
+                    return_intermediate=True,
+                    transformerlayers=dict(
+                        type='mmcv.DetrTransformerDecoderLayer',
+                        attn_cfgs=[
+                            dict(type='mmcv.MultiheadAttention',
+                                 embed_dims=EMBED, num_heads=8,
+                                 dropout=0.0),
+                            dict(type=('opera.MulFramesMultiScaleDeformable'
+                                       'PoseAttentionNumFrames3'),
+                                 num_points=K, embed_dims=EMBED)],
+                        ffn_cfgs=dict(type='FFN', embed_dims=EMBED,
+                                      feedforward_channels=128,
+                                      ffn_drop=0.0),
+                        feedforward_channels=128, ffn_dropout=0.0,
+                        operation_order=('self_attn', 'norm', 'cross_attn',
+                                         'norm', 'ffn', 'norm'))),
+                refine_decoder=dict(
+                    type='mmcv.DeformableDetrTransformerDecoderV1',
+                    num_layers=REF_LAYERS, return_intermediate=True,
+                    transformerlayers=dict(
+                        type='mmcv.DetrTransformerDecoderLayer',
+                        attn_cfgs=[
+                            dict(type='mmcv.MultiheadAttention',
+                                 embed_dims=EMBED, num_heads=8,
+                                 dropout=0.0),
+                            dict(type=('mmcv.MulFramesMultiScaleDeformable'
+                                       'AttentionNumFrames3'),
+                                 embed_dims=EMBED, im2col_step=128)],
+                        ffn_cfgs=dict(type='FFN', embed_dims=EMBED,
+                                      feedforward_channels=128,
+                                      ffn_drop=0.0),
+                        feedforward_channels=128, ffn_dropout=0.0,
+                        operation_order=('self_attn', 'norm', 'cross_attn',
+                                         'norm', 'ffn', 'norm')))),
+            positional_encoding=dict(
+                type='mmcv.SinePositionalEncoding', num_feats=EMBED // 2,
+                normalize=True, offset=-0.5),
+            loss_cls=dict(type='mmdet.FocalLoss', use_sigmoid=True,
+                          gamma=2.0, alpha=0.25, loss_weight=0.5),
+            loss_kpt=dict(type='opera.RLELoss', loss_weight=1.0),
+            loss_kpt_rpn=dict(type='opera.RLELoss', loss_weight=1.0),
+            loss_oks=dict(type='opera.OKSLoss', num_keypoints=K,
+                          loss_weight=0.0),
+            loss_hm=dict(type='opera.CenterFocalLoss', loss_weight=0.0),
+            loss_kpt_refine=dict(type='opera.RLELoss', loss_weight=1.0),
+            loss_oks_refine=dict(type='opera.OKSLoss', num_keypoints=K,
+                                 loss_weight=0.0)),
+        train_cfg=dict(assigner=dict(
+            type='opera.PoseHungarianAssigner',
+            cls_cost=dict(type='mmdet.FocalLossCost', weight=2.0),
+            kpt_cost=dict(type='opera.KptL1Cost', weight=70.0),
+            oks_cost=dict(type='opera.OksCost', num_keypoints=K,
+                          weight=7.0))),
+        test_cfg=dict(max_per_img=5))
+    model = build_model(cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def parity_pair():
+    torch.manual_seed(0)
+    ref = build_reference()
+    state_dict = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    from pavenet_tpu.models.detectors import VideoPoseDetector
+    from pavenet_tpu.utils.weight_convert import (
+        convert_videopose_state_dict)
+
+    mine = VideoPoseDetector(
+        num_frames=T, num_keypoints=K, num_query=NQ, max_gt=4,
+        backbone_depth=18, embed_dims=EMBED,
+        num_encoder_layers=ENC_LAYERS, num_decoder_layers=DEC_LAYERS,
+        num_refine_layers=REF_LAYERS, feedforward_channels=128,
+        max_per_img=5)
+    variables = convert_videopose_state_dict(
+        state_dict, num_frames=T, num_decoder_layers=DEC_LAYERS,
+        num_refine_layers=REF_LAYERS, num_encoder_layers=ENC_LAYERS,
+        backbone_depth=18)
+    assert not variables.pop("_unused_reference_keys"), "unconverted keys"
+    return ref, mine, variables
+
+
+def test_full_model_parity(parity_pair):
+    ref, mine, variables = parity_pair
+    rng = np.random.RandomState(0)
+    img = rng.randn(B, T, 3, H, W).astype(np.float32)
+    img_h, img_w = H - 16, W - 11
+
+    img_metas = [dict(batch_input_shape=(H, W),
+                      img_shape=(img_h, img_w, 3))] * B
+    with torch.no_grad():
+        feats = ref.extract_feat(torch.from_numpy(img))
+        outs = ref.bbox_head.forward(feats, img_metas)
+    (cls_t, kpt_t, sigma_t, enc_cls_t, enc_kpt_t, enc_sigma_t, _hm,
+     _memory, _masks, _pp, pre_t, next_t, _nn) = outs
+
+    batch_img = jnp.asarray(img.transpose(0, 1, 3, 4, 2))
+    img_shape = jnp.asarray([[img_h, img_w]] * B, jnp.int32)
+    out = mine.apply(variables, batch_img, img_shape,
+                     method="forward_outputs")
+
+    def close(name, got, want, atol=2e-3):
+        got, want = np.asarray(got), np.asarray(want.numpy())
+        assert got.shape == want.shape, (name, got.shape, want.shape)
+        diff = np.abs(got - want).max()
+        assert diff < atol, (
+            f"{name}: max diff {diff} "
+            f"(nan in mine: {np.isnan(got).sum()}, "
+            f"nan in reference: {np.isnan(want).sum()})")
+
+    close("enc_cls", out["enc_cls_scores"], enc_cls_t, atol=5e-3)
+    close("enc_kpt", out["enc_kpt_preds"], enc_kpt_t)
+    close("enc_sigma", out["enc_sigma_preds"], enc_sigma_t)
+    close("cls", out["all_cls_scores"], cls_t, atol=5e-3)
+    close("kpt", out["all_kpt_preds"], kpt_t)
+    close("sigma", out["all_sigma_preds"], sigma_t)
+    close("pre_kpt", out["frame_kpt_preds"][:, 0], pre_t)
+    close("next_kpt", out["frame_kpt_preds"][:, 2], next_t)
