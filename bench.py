@@ -59,33 +59,32 @@ def main():
     sync(infer(variables, batch))
     compile_s = time.time() - t0
 
-    for _ in range(args.warmup):
-        sync(infer(variables, batch))
-    # measure host round-trip latency to subtract it from the loop time
-    rt = []
-    for _ in range(5):
-        t0 = time.time()
-        sync(infer(variables, batch))
-        rt.append(time.time() - t0)
-    single = float(np.median(rt))
+    # device-only timing: run the loop INSIDE one jit (one tunnel dispatch),
+    # each iteration data-dependent on the previous so nothing is hoisted
+    def bench_loop(v, b):
+        def body(c, _):
+            bb = dict(b)
+            bb["img"] = b["img"] + c.astype(b["img"].dtype)
+            out = model.apply(v, bb, train=False)
+            return out["det_bboxes"][0, 0, 4].astype(jnp.float32) * 0.0, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.iters)
+        return c
 
-    # queue all iterations, sync once at the end: device-side time/iter
+    loop = jax.jit(bench_loop)
     t0 = time.time()
-    out = None
-    for _ in range(args.iters):
-        out = infer(variables, batch)
-    sync(out)
+    float(np.asarray(loop(variables, batch)))  # compile + first run
+    loop_compile_s = time.time() - t0
+    t0 = time.time()
+    float(np.asarray(loop(variables, batch)))
     total = time.time() - t0
-    roundtrip = max(single - total / args.iters, 0.0)
     per_iter = total / args.iters
     clips_per_sec = args.batch / per_iter
 
-    print(f"# init {init_s:.1f}s, first-call (compile) {compile_s:.1f}s, "
-          f"device time/clip {per_iter*1e3:.1f}ms "
-          f"(single-call incl. tunnel {single*1e3:.1f}ms, est roundtrip "
-          f"{roundtrip*1e3:.1f}ms) over {args.iters} iters, "
-          f"bucket {args.height}x{args.width}, batch {args.batch}, "
-          f"dtype {args.dtype}", flush=True)
+    print(f"# init {init_s:.1f}s, single-call compile {compile_s:.1f}s, "
+          f"loop compile {loop_compile_s:.1f}s, "
+          f"device time/clip {per_iter*1e3:.2f}ms over {args.iters} "
+          f"in-jit iters, bucket {args.height}x{args.width}, "
+          f"batch {args.batch}, dtype {args.dtype}", flush=True)
     print(json.dumps({
         "metric": "pavenet_r50_frames3_clips_per_sec",
         "value": round(clips_per_sec, 3),

@@ -129,6 +129,7 @@ class VideoPoseHead(nn.Module):
     feedforward_channels: int = 1024
     num_kpt_fcs: int = 2
     dropout: float = 0.1
+    with_heatmap: bool = False  # PETR trains a level-0 heatmap aux branch
     impl: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
@@ -251,6 +252,16 @@ class VideoPoseHead(nn.Module):
             K, dtype=self.dtype,
             bias_init=nn.initializers.constant(bias_init_with_prob(0.1)),
             name="fc_hm")
+        if self.with_heatmap:
+            # PETR's 1-layer single-level heatmap encoder
+            # (``transformer.py:4293`` hm_encoder; disabled in the video
+            # production model)
+            self.hm_encoder_layer = EncoderLayer(
+                embed_dims=C, num_heads=self.num_heads, num_levels=1,
+                num_points=self.encoder_num_points,
+                feedforward_channels=self.feedforward_channels,
+                dropout=self.dropout, impl=self.impl, dtype=self.dtype,
+                name="hm_encoder_layer")
 
         self.enc_flow = RealNVP(dtype=self.dtype, name="enc_flow")
         self.dec_flow = RealNVP(dtype=self.dtype, name="dec_flow")
@@ -307,7 +318,7 @@ class VideoPoseHead(nn.Module):
     # forward
     # ------------------------------------------------------------------
     def __call__(self, mlvl_feats, mlvl_masks, valid_ratios,
-                 deterministic: bool = True):
+                 deterministic: bool = True, return_heatmap: bool = False):
         """Main forward: encoder -> two-stage -> pose decoder.
 
         Args:
@@ -353,6 +364,17 @@ class VideoPoseHead(nn.Module):
         memory = x.reshape(B, T, N, C)
         now = T // 2
         now_memory = memory[:, now]
+
+        hm_outs = {}
+        if self.with_heatmap and return_heatmap:
+            h0, w0 = spatial_shapes[0]
+            n0 = h0 * w0
+            hm_mem = self.hm_encoder_layer(
+                now_memory[:, :n0], pos[:, :n0],
+                enc_ref[:, :n0, :1], (spatial_shapes[0],), mask[:, :n0],
+                deterministic=deterministic)
+            hm_outs["hm_pred"] = self.fc_hm(hm_mem).reshape(B, h0, w0, K)
+            hm_outs["hm_mask"] = mlvl_masks[0]
 
         # --- two-stage proposals from the current frame ---
         proposals_logit, prop_valid = self.gen_proposals(
@@ -441,6 +463,7 @@ class VideoPoseHead(nn.Module):
             memory=memory,                        # (B, T, N, C)
             mask_flatten=mask,                    # (B, N)
             spatial_shapes=spatial_shapes,
+            **hm_outs,
         )
 
     def forward_refine(self, memory, mask_flatten, valid_ratios,

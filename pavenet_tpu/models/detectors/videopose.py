@@ -33,6 +33,24 @@ from ...core.assigner import pose_hungarian_assign, build_pose_targets
 from ...ops.nms import oks_nms_keep
 
 
+def _gaussian_radius(height, width, min_overlap=0.7):
+    """CornerNet gaussian radius (reference
+    ``opera/core/keypoint/transforms.py:39``; note the reference divides by
+    2, not 2a — reproduced as-is)."""
+    def safe_sqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 0.0))
+    b1 = height + width
+    c1 = width * height * (1 - min_overlap) / (1 + min_overlap)
+    r1 = (b1 + safe_sqrt(b1 ** 2 - 4 * c1)) / 2
+    b2 = 2 * (height + width)
+    c2 = (1 - min_overlap) * width * height
+    r2 = (b2 + safe_sqrt(b2 ** 2 - 16 * c2)) / 2
+    b3 = -2 * min_overlap * (height + width)
+    c3 = (min_overlap - 1) * width * height
+    r3 = (b3 + safe_sqrt(b3 ** 2 - 16 * min_overlap * c3)) / 2
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
 class VideoPoseDetector(nn.Module):
     """Flagship video model (production: T=3, K=15, R50, PoseTrack)."""
     num_frames: int = 3
@@ -49,11 +67,22 @@ class VideoPoseDetector(nn.Module):
     feedforward_channels: int = 1024
     max_per_img: int = 20
     oks_nms_thr: float = 0.45
-    # loss weights (production config ``2025_2_13...posetrack17.py:113-137``)
+    # loss configuration. Video production config
+    # (``2025_2_13...posetrack17.py:113-137``): RLE losses, OKS/heatmap off,
+    # Poseur rescoring + OKS-NMS at inference.  PETR
+    # (``configs/petr/petr_r50_16x2_100e_coco.py``): L1 losses (70/70/80),
+    # OKS 2.0 (refine 3.0), heatmap 4.0, no rescoring/NMS.
+    kpt_loss: str = "rle"                # 'rle' | 'l1'
+    with_rescoring: bool = True
+    with_heatmap: bool = False
+    with_nms: bool = True
     loss_cls_weight: float = 0.5
     loss_kpt_weight: float = 1.0
     loss_kpt_rpn_weight: float = 1.0
     loss_kpt_refine_weight: float = 1.0
+    loss_oks_weight: float = 0.0
+    loss_oks_refine_weight: float = 0.0
+    loss_hm_weight: float = 0.0
     cls_cost_weight: float = 2.0
     kpt_cost_weight: float = 70.0
     oks_cost_weight: float = 7.0
@@ -78,6 +107,7 @@ class VideoPoseDetector(nn.Module):
             num_decoder_layers=self.num_decoder_layers,
             num_refine_layers=self.num_refine_layers,
             feedforward_channels=self.feedforward_channels,
+            with_heatmap=self.with_heatmap,
             impl=self.impl, dtype=self.dtype, name="head")
 
     # ------------------------------------------------------------------
@@ -115,13 +145,15 @@ class VideoPoseDetector(nn.Module):
                 [col_valid.sum(-1) / w_l, row_valid.sum(-1) / h_l], -1))
         return masks, jnp.stack(ratios, 1)
 
-    def forward_outputs(self, img, img_shape, deterministic=True):
+    def forward_outputs(self, img, img_shape, deterministic=True,
+                        return_heatmap=False):
         feats = self.extract_feats(img)
         level_shapes = tuple((f.shape[2], f.shape[3]) for f in feats)
         mlvl_masks, valid_ratios = self.level_masks(
             img_shape, img.shape[2:4], level_shapes)
         outs = self.head(feats, mlvl_masks, valid_ratios,
-                         deterministic=deterministic)
+                         deterministic=deterministic,
+                         return_heatmap=return_heatmap)
         outs["valid_ratios"] = valid_ratios
         return outs
 
@@ -155,21 +187,122 @@ class VideoPoseDetector(nn.Module):
                     assign, batch["gt_keypoints"], batch["gt_areas"],
                     batch["img_shape"])
 
+    def _gather_pos(self, preds, targets):
+        """Gather per-GT-slot matched predictions: (B,Q,2K)->(B,G,K,2)."""
+        B = preds.shape[0]
+        K = self.num_keypoints
+        idx = jnp.maximum(targets.query_idx, 0)
+        return jnp.take_along_axis(
+            preds.reshape(B, -1, K, 2), idx[..., None, None], axis=1)
+
     def _rle_layer_loss(self, flow, kpt_preds, sigma_preds, targets,
                         num_valid_kpt, weight):
         """Gather matched predictions per GT slot and apply the RLE loss."""
-        B = kpt_preds.shape[0]
-        K = self.num_keypoints
-        idx = jnp.maximum(targets.query_idx, 0)           # (B, G)
-        gather = lambda a: jnp.take_along_axis(
-            a.reshape(B, -1, K, 2), idx[..., None, None], axis=1)
-        pred = gather(kpt_preds)
-        sigma = jnp.clip(gather(sigma_preds), 1e-4, None)
+        B, K = kpt_preds.shape[0], self.num_keypoints
+        pred = self._gather_pos(kpt_preds, targets)
+        sigma = jnp.clip(self._gather_pos(sigma_preds, targets), 1e-4, None)
         w = targets.kpt_weights                           # (B, G, K, 2)
         bar_mu = jnp.where(w > 0, (pred - targets.kpt_targets) / sigma, 0.0)
         log_phi = flow.log_prob(bar_mu.reshape(-1, 2)).reshape(B, -1, K)
         return rle_loss(pred, sigma, targets.kpt_targets, w, log_phi,
                         num_valid_kpt, weight)
+
+    @staticmethod
+    def _l1_loss(pred, target, weights, num_valid_kpt, weight):
+        """mmdet L1Loss with avg_factor=num_valid (reference PETR kpt loss).
+        pred/target/weights (B, G, K, 2)."""
+        return (jnp.abs(pred - target) * weights).sum() / num_valid_kpt \
+            * weight
+
+    def _oks_loss(self, pred, targets, batch, num_total_pos, weight):
+        """OKS loss on matched pairs in absolute coordinates
+        (reference ``loss_single`` OKS branch)."""
+        from ..losses.oks_loss import oks_loss
+        B, G = pred.shape[:2]
+        h = batch["img_shape"][:, 0].astype(pred.dtype)[:, None, None, None]
+        w = batch["img_shape"][:, 1].astype(pred.dtype)[:, None, None, None]
+        factor = jnp.concatenate([w, h], -1)
+        pos_valid = (targets.kpt_weights.sum((-1, -2)) > 0)   # (B, G)
+        areas = jnp.maximum(targets.area_targets, 1e-6)
+        return oks_loss(
+            (pred * factor).reshape(B * G, -1),
+            (targets.kpt_targets * factor).reshape(B * G, -1),
+            targets.kpt_weights[..., 0].reshape(B * G, -1),
+            areas.reshape(B * G),
+            num_keypoints=self.num_keypoints,
+            weight=pos_valid.reshape(B * G).astype(pred.dtype),
+            avg_factor=jnp.maximum(num_total_pos, 1.0)) * weight
+
+    def _kpt_layer_loss(self, flow, kpt_preds, sigma_preds, targets, batch,
+                        num_valid_kpt, num_pos, kpt_weight, oks_weight):
+        """Dispatch the configured keypoint regression loss; returns
+        (loss_kpt, loss_oks or None)."""
+        if self.kpt_loss == "rle":
+            loss_kpt = self._rle_layer_loss(
+                flow, kpt_preds, sigma_preds, targets, num_valid_kpt,
+                kpt_weight)
+        else:
+            pred = self._gather_pos(kpt_preds, targets)
+            loss_kpt = self._l1_loss(pred, targets.kpt_targets,
+                                     targets.kpt_weights, num_valid_kpt,
+                                     kpt_weight)
+        loss_oks = None
+        if oks_weight > 0:
+            pred = self._gather_pos(kpt_preds, targets)
+            loss_oks = self._oks_loss(pred, targets, batch, num_pos,
+                                      oks_weight)
+        return loss_kpt, loss_oks
+
+    def _heatmap_loss(self, hm_pred, hm_mask, batch):
+        """CornerNet-style heatmap loss on the level-0 map (reference
+        ``loss_heatmap:896``: gt kpts at stride 8, gaussian radius from the
+        gt bbox clamped to [0, 3], umich gaussian max-overlay)."""
+        from ..losses.focal_loss import center_focal_loss
+        B, h0, w0, K = hm_pred.shape
+        kpts = jnp.asarray(batch["gt_keypoints"])          # (B, G, K, 3)
+        valid = (jnp.asarray(batch["gt_valid"])[:, :, None]
+                 & (kpts[..., 2] > 0))                     # (B, G, K)
+        # per-gt radius from the keypoint bounding box (stride 8)
+        vis = (kpts[..., 2] > 0).astype(jnp.float32)
+        big = 1e9
+        x1 = jnp.min(jnp.where(vis > 0, kpts[..., 0], big), -1)
+        y1 = jnp.min(jnp.where(vis > 0, kpts[..., 1], big), -1)
+        x2 = jnp.max(jnp.where(vis > 0, kpts[..., 0], -big), -1)
+        y2 = jnp.max(jnp.where(vis > 0, kpts[..., 1], -big), -1)
+        gw = jnp.clip((x2 - x1) / 8.0, 0.0, None)
+        gh = jnp.clip((y2 - y1) / 8.0, 0.0, None)
+        radius = jnp.clip(jnp.floor(_gaussian_radius(gh, gw, 0.9)),
+                          0.0, 3.0)                        # (B, G)
+        diameter = 2 * radius + 1
+        sigma = diameter / 6.0
+
+        cx = jnp.floor(kpts[..., 0] / 8.0)
+        cy = jnp.floor(kpts[..., 1] / 8.0)
+        ys = jnp.arange(h0, dtype=jnp.float32)
+        xs = jnp.arange(w0, dtype=jnp.float32)
+
+        def add_gt(g, target):
+            dy = ys[None, None, :] - cy[:, g, :, None]     # (B, K, h0)
+            dx = xs[None, None, :] - cx[:, g, :, None]     # (B, K, w0)
+            r = radius[:, g, None, None, None]
+            s2 = 2 * (sigma[:, g, None, None, None] ** 2) + 1e-12
+            d2 = dy[..., :, None] ** 2 + dx[..., None, :] ** 2
+            gsn = jnp.exp(-d2 / s2)
+            inside = ((jnp.abs(dy[..., :, None]) <= r)
+                      & (jnp.abs(dx[..., None, :]) <= r))
+            gsn = jnp.where(
+                inside & valid[:, g, :, None, None], gsn, 0.0)
+            return jnp.maximum(target, gsn)
+
+        target = jax.lax.fori_loop(
+            0, kpts.shape[1], add_gt,
+            jnp.zeros((B, K, h0, w0), jnp.float32))
+        pred = jnp.clip(jax.nn.sigmoid(hm_pred), 1e-4, 1 - 1e-4)
+        pred = pred.transpose(0, 3, 1, 2)                  # (B, K, h0, w0)
+        mask = ~hm_mask                                    # (B, h0, w0)
+        return center_focal_loss(
+            pred.transpose(0, 2, 3, 1), target.transpose(0, 2, 3, 1),
+            mask=mask) * self.loss_hm_weight
 
     def _cls_loss(self, cls_scores, labels, num_total_pos):
         avg = jnp.maximum(num_total_pos, 1.0)
@@ -180,7 +313,8 @@ class VideoPoseDetector(nn.Module):
 
     def forward_train(self, batch):
         outs = self.forward_outputs(batch["img"], batch["img_shape"],
-                                    deterministic=False)
+                                    deterministic=False,
+                                    return_heatmap=self.with_heatmap)
         losses = {}
         last_targets = None
 
@@ -197,14 +331,18 @@ class VideoPoseDetector(nn.Module):
             prefix = "" if d == D - 1 else f"d{d}."
             losses[prefix + "loss_cls"] = self._cls_loss(
                 cls_s, targets.labels, num_pos)
-            losses[prefix + "loss_kpt"] = self._rle_layer_loss(
-                self.head.dec_flow, kpt_p, sig_p, targets, num_valid_kpt,
-                self.loss_kpt_weight)
+            loss_kpt, loss_oks = self._kpt_layer_loss(
+                self.head.dec_flow, kpt_p, sig_p, targets, batch,
+                num_valid_kpt, num_pos, self.loss_kpt_weight,
+                self.loss_oks_weight)
+            losses[prefix + "loss_kpt"] = loss_kpt
+            if loss_oks is not None:
+                losses[prefix + "loss_oks"] = loss_oks
             if d == D - 1:
                 last_targets = targets
 
         # encoder (RPN) losses over all tokens
-        # (reference ``loss_single_rpn:1199``)
+        # (reference ``loss_single_rpn:1199``; no OKS term)
         enc_assign = self._assign_batch(
             outs["enc_cls_scores"], outs["enc_kpt_preds"], batch)
         enc_targets = self._targets(
@@ -213,10 +351,14 @@ class VideoPoseDetector(nn.Module):
         enc_valid_kpt = jnp.maximum(enc_targets.kpt_weights.sum(), 1.0)
         losses["enc_loss_cls"] = self._cls_loss(
             outs["enc_cls_scores"], enc_targets.labels, enc_num_pos)
-        losses["enc_loss_kpt"] = self._rle_layer_loss(
+        losses["enc_loss_kpt"], _ = self._kpt_layer_loss(
             self.head.enc_flow, outs["enc_kpt_preds"],
-            outs["enc_sigma_preds"], enc_targets, enc_valid_kpt,
-            self.loss_kpt_rpn_weight)
+            outs["enc_sigma_preds"], enc_targets, batch, enc_valid_kpt,
+            enc_num_pos, self.loss_kpt_rpn_weight, 0.0)
+
+        if self.with_heatmap and self.loss_hm_weight > 0:
+            losses["loss_hm"] = self._heatmap_loss(
+                outs["hm_pred"], outs["hm_mask"], batch)
 
         # joint-decoder refinement losses on matched poses
         # (reference ``forward_refine:569-742``)
@@ -232,17 +374,27 @@ class VideoPoseDetector(nn.Module):
             outs["memory"], outs["mask_flatten"], outs["valid_ratios"],
             ref_poses, outs["spatial_shapes"], deterministic=False)
         num_valid_kpt = jnp.maximum(last_targets.kpt_weights.sum(), 1.0)
+        num_pos = last_targets.num_pos.sum()
         for r in range(refine_kpts.shape[0]):
             pred = refine_kpts[r]                         # (B, G, K, 2)
-            sigma = jnp.clip(refine_sigmas[r], 1e-4, None)
             w = last_targets.kpt_weights
-            bar_mu = jnp.where(
-                w > 0, (pred - last_targets.kpt_targets) / sigma, 0.0)
-            log_phi = self.head.flow.log_prob(
-                bar_mu.reshape(-1, 2)).reshape(B, -1, K)
-            losses[f"d{r}.loss_kpt_refine"] = rle_loss(
-                pred, sigma, last_targets.kpt_targets, w, log_phi,
-                num_valid_kpt, self.loss_kpt_refine_weight)
+            if self.kpt_loss == "rle":
+                sigma = jnp.clip(refine_sigmas[r], 1e-4, None)
+                bar_mu = jnp.where(
+                    w > 0, (pred - last_targets.kpt_targets) / sigma, 0.0)
+                log_phi = self.head.flow.log_prob(
+                    bar_mu.reshape(-1, 2)).reshape(B, -1, K)
+                losses[f"d{r}.loss_kpt_refine"] = rle_loss(
+                    pred, sigma, last_targets.kpt_targets, w, log_phi,
+                    num_valid_kpt, self.loss_kpt_refine_weight)
+            else:
+                losses[f"d{r}.loss_kpt_refine"] = self._l1_loss(
+                    pred, last_targets.kpt_targets, w, num_valid_kpt,
+                    self.loss_kpt_refine_weight)
+            if self.loss_oks_refine_weight > 0:
+                losses[f"d{r}.loss_oks_refine"] = self._oks_loss(
+                    pred, last_targets, batch, num_pos,
+                    self.loss_oks_refine_weight)
 
         losses["loss"] = sum(losses.values())
         return losses
@@ -251,9 +403,11 @@ class VideoPoseDetector(nn.Module):
     # inference
     # ------------------------------------------------------------------
     def forward_test(self, batch, rescale: bool = True,
-                     with_nms: bool = True):
+                     with_nms: bool | None = None):
         """Returns padded detections per image:
         det_kpts (B, M, K, 3), det_bboxes (B, M, 5), keep (B, M)."""
+        if with_nms is None:
+            with_nms = self.with_nms
         outs = self.forward_outputs(batch["img"], batch["img_shape"],
                                     deterministic=True)
         B = batch["img"].shape[0]
@@ -290,12 +444,16 @@ class VideoPoseDetector(nn.Module):
         y2 = det_kpts[..., 1].max(-1)
         det_bboxes = jnp.stack([x1, y1, x2, y2, scores], -1)
 
-        # Poseur-style rescoring (reference ``get_p:1531``, constants
-        # p_x=0.2, *0.7, power 5 at ``:1466-1491``)
-        p = 1.0 - jnp.exp(-(0.2 / jnp.clip(det_sigmas, 1e-6, None)))
-        p = (p[..., 0] * p[..., 1])[..., None] * 0.7       # (B, M, K, 1)
-        det_kpts = det_kpts * (p ** 5) / (p ** 5 + 1e-10)
-        kpt_scores = scores[:, :, None, None] * p          # (B, M, K, 1)
+        if self.with_rescoring:
+            # Poseur-style rescoring (reference ``get_p:1531``, constants
+            # p_x=0.2, *0.7, power 5 at ``:1466-1491``)
+            p = 1.0 - jnp.exp(-(0.2 / jnp.clip(det_sigmas, 1e-6, None)))
+            p = (p[..., 0] * p[..., 1])[..., None] * 0.7   # (B, M, K, 1)
+            det_kpts = det_kpts * (p ** 5) / (p ** 5 + 1e-10)
+            kpt_scores = scores[:, :, None, None] * p      # (B, M, K, 1)
+        else:
+            # PETR: unit per-keypoint scores (``petr_head.py:1040``)
+            kpt_scores = jnp.ones((*det_kpts.shape[:3], 1), det_kpts.dtype)
         det_kpts = jnp.concatenate([det_kpts, kpt_scores], -1)
 
         if with_nms:
