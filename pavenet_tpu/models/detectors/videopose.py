@@ -58,8 +58,13 @@ class VideoPoseDetector(nn.Module):
     num_classes: int = 1
     num_query: int = 300
     max_gt: int = 30
+    backbone_type: str = "resnet"        # 'resnet' | 'swin'
     backbone_depth: int = 50
     backbone_out_indices: Tuple[int, ...] = (1, 2, 3)
+    swin_embed_dims: int = 192           # Swin-L defaults
+    swin_depths: Tuple[int, ...] = (2, 2, 18, 2)
+    swin_num_heads: Tuple[int, ...] = (6, 12, 24, 48)
+    swin_window_size: int = 7
     embed_dims: int = 256
     num_encoder_layers: int = 6
     num_decoder_layers: int = 3
@@ -92,9 +97,18 @@ class VideoPoseDetector(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(depth=self.backbone_depth,
-                               out_indices=self.backbone_out_indices,
-                               dtype=self.dtype, name="backbone")
+        if self.backbone_type == "swin":
+            from ..backbones.swin import SwinTransformer
+            self.backbone = SwinTransformer(
+                embed_dims=self.swin_embed_dims, depths=self.swin_depths,
+                num_heads=self.swin_num_heads,
+                window_size=self.swin_window_size,
+                out_indices=self.backbone_out_indices,
+                dtype=self.dtype, name="backbone")
+        else:
+            self.backbone = ResNet(depth=self.backbone_depth,
+                                   out_indices=self.backbone_out_indices,
+                                   dtype=self.dtype, name="backbone")
         self.neck = ChannelMapper(out_channels=self.embed_dims, num_outs=4,
                                   dtype=self.dtype, name="neck")
         self.head = VideoPoseHead(

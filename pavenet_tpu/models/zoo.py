@@ -38,6 +38,22 @@ def petr_r50_coco(**overrides) -> VideoPoseDetector:
     return VideoPoseDetector(**kwargs)
 
 
+def petr_swinl_coco(**overrides) -> VideoPoseDetector:
+    """PETR Swin-L (reference
+    ``configs/petr/petr_swin-l-p4-w7-224-22kto1k_16x1_100e_coco.py``)."""
+    kwargs = dict(
+        num_frames=1, num_keypoints=17, num_query=300, max_gt=30,
+        backbone_type="swin", embed_dims=256, num_encoder_layers=6,
+        num_decoder_layers=3, num_refine_layers=2, max_per_img=40,
+        kpt_loss="l1", with_rescoring=False, with_heatmap=True,
+        with_nms=False, loss_cls_weight=2.0, loss_kpt_weight=70.0,
+        loss_kpt_rpn_weight=70.0, loss_kpt_refine_weight=80.0,
+        loss_oks_weight=2.0, loss_oks_refine_weight=3.0,
+        loss_hm_weight=4.0)
+    kwargs.update(overrides)
+    return VideoPoseDetector(**kwargs)
+
+
 def dummy_clip_batch(rng: np.random.RandomState, batch_size: int = 1,
                      num_frames: int = 3, height: int = 800,
                      width: int = 1344, num_keypoints: int = 15,
