@@ -66,7 +66,7 @@ class MultiScaleDeformableAttention(nn.Module):
     num_levels: int = 4
     num_points: int = 4
     dropout: float = 0.1
-    impl: str = "xla"
+    impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -139,7 +139,7 @@ class _MultiFrameBase(nn.Module):
     num_levels: int = 4
     num_points: int = 4
     dropout: float = 0.1
-    impl: str = "xla"
+    impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
     spoke_init: bool = True  # pose variants zero all offset biases
 

@@ -90,7 +90,7 @@ class EncoderLayer(nn.Module):
     num_points: int = 4
     feedforward_channels: int = 1024
     dropout: float = 0.1
-    impl: str = "xla"
+    impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -130,7 +130,7 @@ class VideoPoseHead(nn.Module):
     num_kpt_fcs: int = 2
     dropout: float = 0.1
     with_heatmap: bool = False  # PETR trains a level-0 heatmap aux branch
-    impl: str = "xla"
+    impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):

@@ -93,7 +93,7 @@ class VideoPoseDetector(nn.Module):
     oks_cost_weight: float = 7.0
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
-    impl: str = "xla"
+    impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):

@@ -167,8 +167,20 @@ def ms_deform_attn_xla(value: jnp.ndarray,
 
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations,
-                   attention_weights, impl: str = "xla"):
-    """Dispatching wrapper; ``impl`` in {'xla', 'pallas'}."""
+                   attention_weights, impl: str = "auto"):
+    """Dispatching wrapper; ``impl`` in {'auto', 'xla', 'pallas'}.
+
+    'auto' picks the Pallas kernel on TPU when its layout constraints hold
+    (P*4 taps == 16 per query-level, i.e. the standard P=4; also a ~40x
+    faster compile); the pose-attention shape (P=K) and non-TPU backends
+    use the XLA block-gather formulation. Both are exact (tested to 1e-7);
+    the Pallas backward delegates to AD of the XLA form.
+    """
+    if impl == "auto":
+        import jax as _jax
+        P = sampling_locations.shape[-2]
+        impl = ("pallas" if P == 4 and _jax.default_backend() == "tpu"
+                else "xla")
     if impl == "pallas":
         from .pallas.msda import ms_deform_attn_pallas
         return ms_deform_attn_pallas(
