@@ -14,3 +14,10 @@ model = dict(
 optimizer_config = dict(cumulative_iters=2)
 runner = dict(max_epochs=1)
 max_gt = 10
+# small host-pipeline scales for CPU smoke runs
+train_pipeline_kwargs = dict(
+    scale_range=((96, 160), (160, 160)),
+    buckets=((192, 256),))
+test_pipeline_kwargs = dict(
+    img_scale=(160, 96),
+    buckets=((192, 256),))

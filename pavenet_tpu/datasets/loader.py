@@ -105,11 +105,14 @@ class ClipLoader:
             return
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         sentinel = object()
+        error = []
 
         def producer():
             try:
                 for b in self._batches():
                     q.put(b)
+            except BaseException as e:  # propagate to the consumer
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -118,5 +121,7 @@ class ClipLoader:
         while True:
             item = q.get()
             if item is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield item

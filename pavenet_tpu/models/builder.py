@@ -28,6 +28,8 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
     """Build a detector from a reference-style model config dict."""
     cfg = dict(cfg)
     det_type = _type_name(cfg)
+    if det_type == "SOIT":
+        return _build_soit(cfg, train_cfg, test_cfg, dtype)
     if det_type not in ("VideoPoseV1", "VideoPoseV2", "PETR"):
         raise KeyError(f"unsupported detector type {det_type!r}")
 
@@ -76,6 +78,24 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
         dtype=dtype,
     )
     return VideoPoseDetector(**kwargs)
+
+
+def _build_soit(cfg, train_cfg, test_cfg, dtype):
+    from .detectors.soit import SOITDetector
+    head = cfg.get("bbox_head", {})
+    backbone = cfg.get("backbone", {})
+    transformer = head.get("transformer", {})
+    test_cfg = test_cfg if test_cfg is not None else cfg.get("test_cfg", {})
+    return SOITDetector(
+        num_classes=head.get("num_classes", 80),
+        num_query=head.get("num_query", 300),
+        backbone_depth=backbone.get("depth", 50),
+        num_encoder_layers=transformer.get("encoder", {}).get(
+            "num_layers", 6),
+        num_decoder_layers=transformer.get("decoder", {}).get(
+            "num_layers", 6),
+        max_per_img=(test_cfg or {}).get("max_per_img", 100),
+        dtype=dtype)
 
 
 MODELS.register_module(name=["VideoPoseV1", "VideoPoseV2", "PETR"],

@@ -54,6 +54,16 @@ def petr_swinl_coco(**overrides) -> VideoPoseDetector:
     return VideoPoseDetector(**kwargs)
 
 
+def soit_r50_coco(**overrides):
+    """SOIT R50 (reference ``configs/soit/soit_r50_16x2_50e_coco.py``)."""
+    from .detectors.soit import SOITDetector
+    kwargs = dict(num_classes=80, num_query=300, max_gt=30,
+                  backbone_depth=50, embed_dims=256, num_encoder_layers=6,
+                  num_decoder_layers=6, max_per_img=100)
+    kwargs.update(overrides)
+    return SOITDetector(**kwargs)
+
+
 def dummy_clip_batch(rng: np.random.RandomState, batch_size: int = 1,
                      num_frames: int = 3, height: int = 800,
                      width: int = 1344, num_keypoints: int = 15,

@@ -1,0 +1,88 @@
+"""End-to-end CLI pipeline: train -> checkpoint -> test -> eval metrics.
+
+Exercises the full user surface (tools/train.py + tools/test.py) on a
+synthetic PoseTrack dataset, tiny model sizes.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def synth_data(tmp_path_factory):
+    import cv2
+    root = tmp_path_factory.mktemp("pt_e2e")
+    video = root / "images" / "000001_bonn"
+    video.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    H, W = 128, 160
+    nframes = 4
+    images, annotations = [], []
+    aid = 1
+    for i in range(1, nframes + 1):
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(video / f"{i:08d}.jpg"), img)
+        images.append(dict(
+            id=i, file_name=f"images/000001_bonn/{i:08d}.jpg",
+            width=W, height=H, nframes=nframes, frame_id=i,
+            is_labeled=(i in (2, 3)), vid_id="000001"))
+        if i in (2, 3):
+            k = np.zeros((15, 3))
+            k[:, 0] = rng.uniform(20, W - 20, 15)
+            k[:, 1] = rng.uniform(20, H - 20, 15)
+            k[:, 2] = 2
+            annotations.append(dict(
+                id=aid, image_id=i, category_id=1,
+                keypoints=k.reshape(-1).tolist(),
+                bbox=[20, 20, 80, 80], bbox_head=[30, 20, 20, 20],
+                area=6400, num_keypoints=15, iscrowd=0, track_id=0))
+            aid += 1
+    ann = dict(images=images, annotations=annotations,
+               categories=[dict(id=1, name="person")])
+    ann_file = root / "train.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(root)
+
+
+def run_cli(args, timeout=540):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # single CPU device (conftest sets 8)
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
+        capture_output=True, text=True)
+
+
+def test_train_then_test_cli(synth_data, tmp_path):
+    ann_file, root = synth_data
+    work = str(tmp_path / "work")
+    cfg = "configs/videopose/pavenet_tiny_debug.py"
+    overrides = [
+        "--cfg-options",
+        f"data.train.ann_file={ann_file}",
+        f"data.train.img_prefix={root}",
+        f"data.test.ann_file={ann_file}",
+        f"data.test.img_prefix={root}",
+        "data.test.test_mode=true",
+    ]
+    r = run_cli(["tools/train.py", cfg, "--work-dir", work,
+                 "--max-steps", "2"] + overrides)
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpts = [d for d in os.listdir(work) if d.startswith("step_")]
+    assert ckpts, os.listdir(work)
+
+    out_json = str(tmp_path / "dets.json")
+    r = run_cli(["tools/test.py", cfg, os.path.join(work, ckpts[-1]),
+                 "--out", out_json] + overrides)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "posetrack/Mean" in r.stdout or "coco/AP" in r.stdout, r.stdout
+    with open(out_json) as f:
+        dets = json.load(f)
+    # untrained tiny model: just require well-formed detections
+    for d in dets[:3]:
+        assert len(d["keypoints"]) == 45 and "score" in d

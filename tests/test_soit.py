@@ -1,0 +1,72 @@
+"""SOIT instance-segmentation detector smoke tests."""
+import numpy as np
+import pytest
+import jax
+
+from pavenet_tpu.models.detectors.soit import (
+    SOITDetector, giou, cxcywh_to_xyxy, aligned_bilinear)
+
+
+def test_giou_basics():
+    a = np.array([[0., 0., 10., 10.]])
+    assert abs(float(giou(a, a)[0]) - 1.0) < 1e-6
+    b = np.array([[20., 20., 30., 30.]])
+    assert float(giou(a, b)[0]) < 0
+
+
+def test_aligned_bilinear_shape():
+    x = np.random.RandomState(0).randn(2, 3, 8, 10).astype(np.float32)
+    y = aligned_bilinear(x, 4)
+    assert y.shape == (2, 3, 32, 40)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+@pytest.fixture(scope="module")
+def soit_setup():
+    model = SOITDetector(
+        num_classes=5, num_query=12, max_gt=4, backbone_depth=18,
+        embed_dims=32, num_encoder_layers=1, num_decoder_layers=2,
+        feedforward_channels=64, max_per_img=6)
+    rng = np.random.RandomState(0)
+    B, H, W, G = 1, 64, 96, 4
+    boxes = np.zeros((B, G, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, 40, (B, G))
+    boxes[..., 1] = rng.uniform(0, 30, (B, G))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(10, 40, (B, G))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(10, 30, (B, G))
+    masks = (rng.rand(B, G, H, W) > 0.7).astype(np.float32)
+    batch = dict(
+        img=rng.randn(B, H, W, 3).astype(np.float32),
+        img_shape=np.array([[H, W - 10]], np.int32),
+        scale_factor=np.ones((B, 2), np.float32),
+        gt_boxes=boxes,
+        gt_labels=rng.randint(0, 5, (B, G)).astype(np.int64),
+        gt_masks=masks,
+        gt_valid=np.array([[True, True, True, False]]),
+    )
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=True))()
+    return model, variables, batch
+
+
+def test_soit_train_losses(soit_setup):
+    model, variables, batch = soit_setup
+    losses = jax.jit(lambda v: model.apply(
+        v, batch, train=True, rngs={"dropout": jax.random.PRNGKey(2)}))(
+            variables)
+    expected = {"loss", "loss_cls", "loss_bbox", "loss_iou",
+                "enc_loss_cls", "loss_mask_dice", "loss_mask_bce",
+                "d0.loss_cls"}
+    assert expected <= set(losses), sorted(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+
+def test_soit_inference(soit_setup):
+    model, variables, batch = soit_setup
+    out = jax.jit(lambda v: model.apply(v, batch, train=False))(variables)
+    assert out["det_bboxes"].shape == (1, 6, 5)
+    assert out["det_masks"].shape[:2] == (1, 6)
+    m = np.asarray(out["det_masks"])
+    assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()

@@ -52,8 +52,9 @@ def main():
     model = build_detector(cfg.model)
     test_cfg = dict(cfg.data["test"])
     test_cfg.pop("pipeline", None)
+    pipe_kwargs = dict(cfg.get("test_pipeline_kwargs", {}))
     dataset = DATASETS.build(
-        dict(**test_cfg, pipeline=build_test_pipeline()))
+        dict(**test_cfg, pipeline=build_test_pipeline(**pipe_kwargs)))
     loader = ClipLoader(dataset, batch_size=1, shuffle=False,
                         drop_last=False,
                         num_keypoints=dataset.NUM_KEYPOINTS)

@@ -101,8 +101,9 @@ def main():
         from pavenet_tpu.datasets.pipelines import build_train_pipeline
         train_cfg = dict(data_cfg["train"])
         train_cfg.pop("pipeline", None)
+        pipe_kwargs = dict(cfg.get("train_pipeline_kwargs", {}))
         dataset = DATASETS.build(
-            dict(**train_cfg, pipeline=build_train_pipeline()))
+            dict(**train_cfg, pipeline=build_train_pipeline(**pipe_kwargs)))
         max_gt = cfg.get("max_gt", 30)
         num_k = dataset.NUM_KEYPOINTS
         loader = ClipLoader(dataset, batch_size=batch_size, max_gt=max_gt,
