@@ -54,3 +54,14 @@ def restore_checkpoint(path: str, target):
     """Restore into the structure of ``target`` (a TrainState or pytree)."""
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target)
+
+
+def restore_variables(path: str, params_target=None,
+                      batch_stats_target=None):
+    """Restore just {params, batch_stats} from a TrainState checkpoint
+    (inference doesn't rebuild the optimizer state, so a full-structure
+    restore would mismatch)."""
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)  # raw tree, no structure target
+    return {"params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {})}

@@ -39,7 +39,7 @@ def main():
     from pavenet_tpu.datasets.pipelines import build_test_pipeline
     from pavenet_tpu.apis.test import run_inference, evaluate_dataset
     from pavenet_tpu.apis.train import create_train_state
-    from pavenet_tpu.utils.checkpoint import restore_checkpoint
+    from pavenet_tpu.utils.checkpoint import restore_variables
     from pavenet_tpu.models.zoo import dummy_clip_batch
 
     import numpy as np
@@ -63,10 +63,11 @@ def main():
     rng = np.random.RandomState(0)
     dummy = dummy_clip_batch(
         rng, num_frames=model.num_frames, height=256, width=448,
-        num_keypoints=model.num_keypoints, max_gt=model.max_gt, train=True)
+        num_keypoints=model.num_keypoints,
+        max_gt=min(model.max_gt, model.num_query), train=True)
     state, _ = create_train_state(model, dummy, seed=0)
-    state = restore_checkpoint(os.path.abspath(args.checkpoint), state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    variables = restore_variables(
+        os.path.abspath(args.checkpoint), state.params, state.batch_stats)
 
     detections = run_inference(model, variables, loader, logger=logger)
     if args.out:
