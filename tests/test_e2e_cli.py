@@ -80,7 +80,8 @@ def test_train_then_test_cli(synth_data, tmp_path):
     r = run_cli(["tools/test.py", cfg, os.path.join(work, ckpts[-1]),
                  "--out", out_json] + overrides)
     assert r.returncode == 0, r.stderr[-3000:]
-    assert "posetrack/Mean" in r.stdout or "coco/AP" in r.stdout, r.stdout
+    logs = r.stdout + r.stderr  # logger emits to stderr
+    assert "posetrack/Mean" in logs or "coco/AP" in logs, logs[-2000:]
     with open(out_json) as f:
         dets = json.load(f)
     # untrained tiny model: just require well-formed detections
