@@ -191,6 +191,11 @@ class SOITDetector(nn.Module):
     cls_cost_weight: float = 2.0
     reg_cost_weight: float = 5.0
     iou_cost_weight: float = 2.0
+    # DK-DETR (reference ``dkdetr_head.py``): decoder cls branches emit
+    # text-embedding vectors scored by cosine similarity against per-class
+    # text features (batch["text_feats"], (num_classes, cls_emb_dim)).
+    cls_emb_dim: int = 0
+    temperature: float = 1.0
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
@@ -252,8 +257,12 @@ class SOITDetector(nn.Module):
 
         num_pred = self.num_decoder_layers + 1
         cls_bias = nn.initializers.constant(bias_init_with_prob(0.01))
+        dec_out = self.cls_emb_dim or self.num_classes
+        # the encoder-proposal branch (last) always scores num_classes
+        # (reference ``dkdetr_head.py:_init_layers``)
         self.cls_branches = [
-            nn.Dense(self.num_classes, dtype=self.dtype, bias_init=cls_bias,
+            nn.Dense(dec_out if i < num_pred - 1 else self.num_classes,
+                     dtype=self.dtype, bias_init=cls_bias,
                      name=f"cls_branch{i}") for i in range(num_pred)]
         self.reg_branches = [
             MLP((C, C), 4, dtype=self.dtype, zero_init_last=True,
@@ -263,7 +272,17 @@ class SOITDetector(nn.Module):
                 name=f"seg_branch{i}") for i in range(num_pred - 1)]
 
     # ------------------------------------------------------------ forward
-    def forward_outputs(self, img, img_shape, deterministic=True):
+    def _text_logits(self, emb, text_feats):
+        """Cosine-similarity classification (reference
+        ``dkdetr_head.get_cosine_similarity``)."""
+        e = emb / jnp.clip(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-6, None)
+        t = text_feats / jnp.clip(
+            jnp.linalg.norm(text_feats, axis=-1, keepdims=True), 1e-6, None)
+        return (e @ t.T) / self.temperature
+
+    def forward_outputs(self, img, img_shape, deterministic=True,
+                        text_feats=None):
         B, H, W, _ = img.shape
         feats = self.neck(self.backbone(img))
         shapes: Shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
@@ -356,6 +375,10 @@ class SOITDetector(nn.Module):
             inter_dyn.append(self.seg_branches[lid](query))
             ref = jax.lax.stop_gradient(new_ref)
 
+        if self.cls_emb_dim:
+            assert text_feats is not None, "DK-DETR needs batch['text_feats']"
+            inter_cls = [self._text_logits(c, text_feats)
+                         for c in inter_cls]
         return dict(
             all_cls_scores=jnp.stack(inter_cls),
             all_bbox_preds=jnp.stack(inter_coords),   # cxcywh normalized
@@ -421,7 +444,8 @@ class SOITDetector(nn.Module):
 
     def forward_train(self, batch):
         outs = self.forward_outputs(batch["img"], batch["img_shape"],
-                                    deterministic=False)
+                                    deterministic=False,
+                                    text_feats=batch.get("text_feats"))
         B, G = batch["gt_boxes"].shape[:2]
         losses = {}
         D = outs["all_cls_scores"].shape[0]
@@ -513,7 +537,8 @@ class SOITDetector(nn.Module):
     # ---------------------------------------------------------------- test
     def forward_test(self, batch):
         outs = self.forward_outputs(batch["img"], batch["img_shape"],
-                                    deterministic=True)
+                                    deterministic=True,
+                                    text_feats=batch.get("text_feats"))
         B = batch["img"].shape[0]
         M = self.max_per_img
         cls = jax.nn.sigmoid(outs["all_cls_scores"][-1])    # (B,Q,classes)
