@@ -33,6 +33,7 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     rng: jax.Array
+    ema_params: Any = None  # optional EMA of params (mmcv EMAHook)
 
 
 def _param_label(path: tuple) -> str:
@@ -90,7 +91,8 @@ def build_optimizer(params,
 
 
 def create_train_state(model, batch, seed: int = 0, tx=None,
-                       tx_kwargs: Optional[Dict] = None) -> TrainState:
+                       tx_kwargs: Optional[Dict] = None,
+                       ema_decay: float = 0.0) -> TrainState:
     """Initialize params (jitted — eager init is pathologically slow over
     remote device tunnels) and the optimizer state."""
     key = jax.random.PRNGKey(seed)
@@ -104,13 +106,14 @@ def create_train_state(model, batch, seed: int = 0, tx=None,
     if tx is None:
         tx = build_optimizer(params, **(tx_kwargs or {}))
     opt_state = jax.jit(tx.init)(params)
+    ema = params if ema_decay > 0 else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
-                      rng=rkey), tx
+                      rng=rkey, ema_params=ema), tx
 
 
 def make_train_step(model, tx, mesh=None, axis_name: str = "data",
-                    donate: bool = True):
+                    donate: bool = True, ema_decay: float = 0.0):
     """Build the jitted (optionally mesh-sharded) train step.
 
     Batch axis sharded over the mesh; state replicated.  Matching, losses
@@ -131,8 +134,14 @@ def make_train_step(model, tx, mesh=None, axis_name: str = "data",
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_decay > 0:
+            ema = jax.tree.map(
+                lambda e, p: e * ema_decay + p * (1 - ema_decay),
+                ema, params)
         new_state = state.replace(step=state.step + 1, params=params,
-                                  opt_state=opt_state, rng=rng)
+                                  opt_state=opt_state, rng=rng,
+                                  ema_params=ema)
         return new_state, losses
 
     if mesh is None:

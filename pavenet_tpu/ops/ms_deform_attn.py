@@ -185,5 +185,9 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
         from .pallas.msda import ms_deform_attn_pallas
         return ms_deform_attn_pallas(
             value, spatial_shapes, sampling_locations, attention_weights)
-    return ms_deform_attn_xla(
-        value, spatial_shapes, sampling_locations, attention_weights)
+    # rematerialize the sampling in backward: the gathered-tap intermediates
+    # are the dominant training-memory cost (recompute beats storing them)
+    fn = jax.checkpoint(
+        functools.partial(ms_deform_attn_xla, spatial_shapes=spatial_shapes))
+    return fn(value, sampling_locations=sampling_locations,
+              attention_weights=attention_weights)

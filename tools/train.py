@@ -37,6 +37,8 @@ def parse_args():
                    help="cap total steps (smoke runs)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic data (no dataset required)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steps 2-4 here")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -136,14 +138,23 @@ def main():
         state = restore_checkpoint(resume, state)
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
 
+    ema_decay = 0.0
+    for hook in cfg.get("custom_hooks", []):
+        if hook.get("type", "").endswith("EMAHook"):
+            ema_decay = 1.0 - hook.get("momentum", 0.0002)
     buf = LogBuffer()
     total = 0
     log_interval = cfg.get("log_config", {}).get("interval", 40)
     for epoch in range(start_epoch, max_epochs):
         for i, batch in enumerate(epoch_loader(epoch)):
             batch = put_batch(batch, mesh)
+            if args.profile_dir and total == 2:
+                jax.profiler.start_trace(args.profile_dir)
             state, losses = train_step(state, batch)
             total += 1
+            if args.profile_dir and total == 4:
+                jax.tree_util.tree_leaves(losses)[0].block_until_ready()
+                jax.profiler.stop_trace()
             if total % log_interval == 0 or i == 0:
                 vals = {k: float(v) for k, v in losses.items()}
                 buf.update(vals)
