@@ -39,6 +39,8 @@ def parse_args():
                    help="train on synthetic data (no dataset required)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 2-4 here")
+    p.add_argument("--no-validate", action="store_true",
+                   help="skip per-epoch evaluation on data.val")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -170,6 +172,36 @@ def main():
             meta=dict(epoch=epoch + 1),
             max_keep=cfg.get("checkpoint_config", {}).get(
                 "max_keep_ckpts", 20))
+        # per-epoch EvalHook (reference opera/core/evaluation/eval_hooks.py)
+        eval_interval = cfg.get("evaluation", {}).get("interval", 1)
+        if (not args.no_validate and not args.synthetic
+                and "val" in data_cfg
+                and (epoch + 1) % eval_interval == 0):
+            try:
+                from pavenet_tpu.registry import DATASETS
+                from pavenet_tpu.datasets.loader import ClipLoader
+                from pavenet_tpu.datasets.pipelines import (
+                    build_test_pipeline)
+                from pavenet_tpu.apis.test import (
+                    run_inference, evaluate_dataset)
+                val_cfg = dict(data_cfg["val"])
+                val_cfg.pop("pipeline", None)
+                val_cfg.pop("samples_per_gpu", None)
+                pipe_kwargs = dict(cfg.get("test_pipeline_kwargs", {}))
+                val_ds = DATASETS.build(dict(
+                    **val_cfg, pipeline=build_test_pipeline(**pipe_kwargs)))
+                val_loader = ClipLoader(
+                    val_ds, batch_size=1, shuffle=False, drop_last=False,
+                    num_keypoints=val_ds.NUM_KEYPOINTS)
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                dets = run_inference(model, variables, val_loader,
+                                     logger=logger)
+                for k, v in evaluate_dataset(val_ds, dets).items():
+                    if isinstance(v, float):
+                        logger.info(f"val epoch {epoch + 1} {k}: {v:.4f}")
+            except Exception as e:  # eval must not kill training
+                logger.warning(f"eval hook failed: {e}")
         if args.max_steps and total >= args.max_steps:
             break
     logger.info("training done")
