@@ -105,7 +105,7 @@ def _msda_kernel(idx_ref, w_ref, val_ref, out_ref):
             hit = (lane >= 0) & (lane < LANE)
             g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
                                     axis=1)
-            return acc + jnp.where(hit, g, 0.0)
+            return acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
 
         acc = jax.lax.fori_loop(tmin, tmax + 1, tile_body,
                                 jnp.zeros((D, LANE), jnp.float32))
@@ -157,6 +157,7 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
         v = jnp.pad(v, ((0, 0),) * 3 + ((0, pad),))
         vt.append(v.reshape(B, H, D, -1, LANE).transpose(0, 1, 3, 2, 4))
         start += n
+    # f32 tables: Mosaic's lane lookup does not compile for bf16 tiles
     val = jnp.concatenate(vt, 2).reshape(
         B * H, T_total, D, LANE).astype(jnp.float32)
 
