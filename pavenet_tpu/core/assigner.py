@@ -19,7 +19,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..models.losses.oks_loss import OKS_SIGMAS
 from ..ops.lap import hungarian_masked
 
 
@@ -58,6 +57,7 @@ def oks_cost(kpt_pred_abs, gt_kpts_abs, vis, areas, num_keypoints=15,
     kpt_pred_abs (Q, K, 2); gt_kpts_abs (G, K, 2); vis (G, K);
     areas (G,). Returns (Q, G).
     """
+    from ..models.losses.oks_loss import OKS_SIGMAS
     sigmas = jnp.asarray(OKS_SIGMAS[num_keypoints])
     variances = (sigmas * 2) ** 2
     d2 = ((kpt_pred_abs[:, None, :, 0] - gt_kpts_abs[None, :, :, 0]) ** 2
