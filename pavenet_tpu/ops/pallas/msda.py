@@ -91,24 +91,44 @@ def _msda_kernel(idx_ref, w_ref, val_ref, out_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 1)
     gt = (lanes // GROUP == rows).astype(jnp.float32)
+    T_total = val_ref.shape[1]
+    STATIC_PROBES = 4  # encoder tap spans are almost always <= 4 tiles
 
-    def chunk_body(c, _):
+    # fully static unroll: Mosaic's fori_loop costs ~350 cycles/iteration,
+    # which dominated a ~10-op chunk body; static probes + a usually
+    # zero-trip dynamic tail keep exactness for adversarial spans.
+    for c in range(CB):
         taps = idx_ref[0, 0, 0, c]                  # (1, LANE) int32
         w = w_ref[0, 0, 0, c]                       # (1, LANE) f32
         taps_b = jnp.broadcast_to(taps, (D, LANE))
         tmin = jnp.min(taps) // LANE
         tmax = jnp.max(taps) // LANE
 
-        def tile_body(t, acc):
+        acc = jnp.zeros((D, LANE), jnp.float32)
+        for k in range(STATIC_PROBES):
+            t = jnp.minimum(tmin + k, T_total - 1)
             tile = val_ref[0, t]                    # (D, LANE)
+            lane = taps_b - t * LANE
+            hit = (lane >= 0) & (lane < LANE) & (tmin + k <= tmax)
+            g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
+                                    axis=1)
+            acc = acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
+
+        def tile_body(t, a):
+            tile = val_ref[0, t]
             lane = taps_b - t * LANE
             hit = (lane >= 0) & (lane < LANE)
             g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
                                     axis=1)
-            return acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
+            return a + jnp.where(hit, g, 0.0).astype(jnp.float32)
 
-        acc = jax.lax.fori_loop(tmin, tmax + 1, tile_body,
-                                jnp.zeros((D, LANE), jnp.float32))
+        # rare (span > STATIC_PROBES) tail behind a cond: the zero-trip
+        # fori alone still costs ~full loop setup on the scalar core
+        acc = jax.lax.cond(
+            tmax - tmin >= STATIC_PROBES,
+            lambda a: jax.lax.fori_loop(
+                tmin + STATIC_PROBES, tmax + 1, tile_body, a),
+            lambda a: a, acc)
         acc = acc * w
         # 16-lane group sums + implicit transpose in one exact (6-pass)
         # MXU contraction: (G, LANE) one-hot x (D, LANE) -> (G, D)
@@ -116,10 +136,7 @@ def _msda_kernel(idx_ref, w_ref, val_ref, out_ref):
             gt, acc, dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-        out_ref[0, pl.ds(c * QPC, QPC), :] += part
-        return 0
-
-    jax.lax.fori_loop(0, CB, chunk_body, 0)
+        out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -162,7 +179,7 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
         B * H, T_total, D, LANE).astype(jnp.float32)
 
     # pad queries so chunks fill CB-sized grid steps
-    CB = 64
+    CB = 32
     assert CB % PACK == 0
     Qpad = _round_up(Q, QPC * CB)
     if Qpad != Q:
