@@ -1,0 +1,38 @@
+"""Pallas msda kernel parity (runs only when a TPU is attached)."""
+import numpy as np
+import pytest
+import jax
+
+from pavenet_tpu.ops import ms_deform_attn_xla
+
+tpu_only = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="Pallas TPU kernel needs a TPU")
+
+
+@tpu_only
+def test_pallas_matches_xla_including_adversarial_spans():
+    from pavenet_tpu.ops.pallas.msda import ms_deform_attn_pallas
+
+    rng = np.random.RandomState(0)
+    SH = ((9, 13), (5, 7), (3, 4))
+    N = sum(h * w for h, w in SH)
+    v = rng.randn(2, N, 4, 32).astype(np.float32)
+    loc = (rng.rand(2, 11, 4, 3, 4, 2) * 1.2 - 0.1).astype(np.float32)
+    w = rng.rand(2, 11, 4, 3, 4).astype(np.float32)
+    w /= w.reshape(2, 11, 4, -1).sum(-1).reshape(2, 11, 4, 1, 1)
+    want = np.asarray(ms_deform_attn_xla(v, SH, loc, w))
+    got = np.asarray(jax.jit(
+        lambda a, b, c: ms_deform_attn_pallas(a, SH, b, c))(v, loc, w))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # adversarial: fully random (global) sampling locations -> long tile
+    # spans exercising the dynamic tail
+    SH2 = ((40, 52), (20, 26))
+    N2 = sum(h * w for h, w in SH2)
+    v2 = rng.randn(1, N2, 2, 32).astype(np.float32)
+    loc2 = rng.rand(1, 77, 2, 2, 4, 2).astype(np.float32)
+    w2 = rng.rand(1, 77, 2, 2, 4).astype(np.float32)
+    want2 = np.asarray(ms_deform_attn_xla(v2, SH2, loc2, w2))
+    got2 = np.asarray(jax.jit(
+        lambda a, b, c: ms_deform_attn_pallas(a, SH2, b, c))(v2, loc2, w2))
+    np.testing.assert_allclose(got2, want2, atol=1e-5)
