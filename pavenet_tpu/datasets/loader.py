@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import threading
 import queue as queue_mod
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -10,7 +10,7 @@ are a flag.  The reference's test-mode debug slice (``img_ids[1193:1194]``,
 from __future__ import annotations
 
 import os.path as osp
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -14,7 +14,7 @@ Multi-frame input (reference ``resnet.py:634-640``, ``input_type=
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

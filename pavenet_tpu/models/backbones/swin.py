@@ -11,7 +11,7 @@ windows use the standard SW-MSA attention mask.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

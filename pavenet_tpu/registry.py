@@ -12,7 +12,7 @@ configs work unchanged.
 from __future__ import annotations
 
 import inspect
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 KNOWN_SCOPES = ("opera", "mmdet", "mmcv", "pavenet", "torch")
 
