@@ -137,12 +137,26 @@ def _bilinear_gather(value_bh: jnp.ndarray, H: int, W: int, start: int,
     return out + (taps * w_bh).sum((2, 3)).reshape(BH, Q, P, D).sum(2)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def ms_deform_attn_xla(value, spatial_shapes, sampling_locations,
+                       attention_weights):
+    """XLA gather formulation of multi-scale deformable attention.
+
+    Custom VJP: XLA transposes the (2,2,D)-slice gather into a slice
+    scatter that runs ~25x slower than the forward on v5e (measured 8.2s
+    per encoder-scale call); ``grad_value`` is instead computed with fast
+    row scatter-adds (~9ns/index) and grads w.r.t. locations/weights via AD
+    of a value-constant closure (gathers only).
+    """
+    return _ms_deform_attn_fwd_impl(value, spatial_shapes,
+                                    sampling_locations, attention_weights)
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes",))
-def ms_deform_attn_xla(value: jnp.ndarray,
-                       spatial_shapes: Shapes,
-                       sampling_locations: jnp.ndarray,
-                       attention_weights: jnp.ndarray) -> jnp.ndarray:
-    """XLA gather formulation of multi-scale deformable attention."""
+def _ms_deform_attn_fwd_impl(value: jnp.ndarray,
+                             spatial_shapes: Shapes,
+                             sampling_locations: jnp.ndarray,
+                             attention_weights: jnp.ndarray) -> jnp.ndarray:
     shapes = _as_static_shapes(spatial_shapes)
     B, N, nheads, D = value.shape
     Q = sampling_locations.shape[1]
@@ -164,6 +178,68 @@ def ms_deform_attn_xla(value: jnp.ndarray,
         start += H * W
     out = out.reshape(B, nheads, Q, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Q, nheads * D)
+
+
+def _grad_value_rows(value, shapes, locations, weights, g):
+    """grad wrt value via per-corner row scatter-adds (fast on TPU)."""
+    B, N, nheads, D = value.shape
+    Q = locations.shape[1]
+    BH = B * nheads
+    g_bh = g.reshape(B, Q, nheads, D).transpose(0, 2, 1, 3).reshape(
+        BH, Q, 1, D)
+    out = jnp.zeros((BH, N, D), jnp.float32)
+    start = 0
+    for lvl, (H, W) in enumerate(shapes):
+        loc = locations[:, :, :, lvl]
+        attn = weights[:, :, :, lvl].astype(jnp.float32)
+        P = loc.shape[3]
+        x = loc[..., 0].astype(jnp.float32) * W - 0.5
+        y = loc[..., 1].astype(jnp.float32) * H - 0.5
+        ys = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(H - 2, 0))
+        xs = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, max(W - 2, 0))
+        wy = (jnp.maximum(1.0 - jnp.abs(y - ys), 0.0),
+              jnp.maximum(1.0 - jnp.abs(y - (ys + 1)), 0.0))
+        wx = (jnp.maximum(1.0 - jnp.abs(x - xs), 0.0),
+              jnp.maximum(1.0 - jnp.abs(x - (xs + 1)), 0.0))
+        for r in range(2):
+            for c in range(2):
+                if H < 2 and r == 1:
+                    continue
+                if W < 2 and c == 1:
+                    continue
+                yy = jnp.clip(ys + r, 0, H - 1)
+                xx = jnp.clip(xs + c, 0, W - 1)
+                idx = (start + yy * W + xx).transpose(0, 2, 1, 3).reshape(
+                    BH, Q * P)
+                wgt = (wy[r] * wx[c] * attn).transpose(0, 2, 1, 3).reshape(
+                    BH, Q, P, 1)
+                upd = (wgt * g_bh.astype(jnp.float32)).reshape(BH, Q * P, D)
+                out = jax.vmap(lambda o, i, u: o.at[i].add(u))(out, idx, upd)
+        start += H * W
+    return out.reshape(B, nheads, N, D).transpose(0, 2, 1, 3).astype(
+        value.dtype)
+
+
+def _msda_xla_fwd(value, spatial_shapes, sampling_locations,
+                  attention_weights):
+    out = _ms_deform_attn_fwd_impl(value, spatial_shapes,
+                                   sampling_locations, attention_weights)
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _msda_xla_bwd(spatial_shapes, res, g):
+    value, locs, weights = res
+    shapes = _as_static_shapes(spatial_shapes)
+    # grads wrt locations/weights: AD with value held constant (no scatter)
+    _, vjp_lw = jax.vjp(
+        lambda l, w: _ms_deform_attn_fwd_impl(value, spatial_shapes, l, w),
+        locs, weights)
+    g_loc, g_w = vjp_lw(g)
+    g_val = _grad_value_rows(value, shapes, locs, weights, g)
+    return g_val, g_loc, g_w
+
+
+ms_deform_attn_xla.defvjp(_msda_xla_fwd, _msda_xla_bwd)
 
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations,
@@ -188,6 +264,5 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
     # rematerialize the sampling in backward: the gathered-tap intermediates
     # are the dominant training-memory cost (recompute beats storing them)
     fn = jax.checkpoint(
-        functools.partial(ms_deform_attn_xla, spatial_shapes=spatial_shapes))
-    return fn(value, sampling_locations=sampling_locations,
-              attention_weights=attention_weights)
+        lambda v, l, w: ms_deform_attn_xla(v, spatial_shapes, l, w))
+    return fn(value, sampling_locations, attention_weights)
