@@ -249,8 +249,9 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
     'auto' picks the Pallas kernel on TPU when its layout constraints hold
     (P*4 taps == 16 per query-level, i.e. the standard P=4; also a ~40x
     faster compile); the pose-attention shape (P=K) and non-TPU backends
-    use the XLA block-gather formulation. Both are exact (tested to 1e-7);
-    the Pallas backward delegates to AD of the XLA form.
+    use the XLA block-gather formulation. Both are exact (tested to 1e-7)
+    and both have fused custom backwards (the Pallas one accumulates
+    grad_value in VMEM — no gathered-tap residuals, see pallas/msda.py).
     """
     if impl == "auto":
         import jax as _jax

@@ -20,8 +20,17 @@ per vector op:
   chunks' results pack into one 128-query register tile that flushes to a
   channel-major ``(BH, D, Q)`` output at 128-lane alignment.
 
-Forward only; gradients fall back to AD of the XLA formulation via
-``custom_vjp`` (training stays exact; inference gets the fast path).
+The backward is a fused Pallas kernel in the same layout (counterpart of the
+reference col2im backward, ``ms_deform_attn_cuda.cu:48-205``): per 128-tap
+chunk it re-gathers the forward taps (per-tap ``v_dot = <g_q, V[tap]>``) and
+scatters ``folded_weight * g_q`` rows into a VMEM-resident channel-major
+``grad_value`` table via an exact one-hot MXU contraction per probe tile —
+no atomics, no giant gathered-tap residuals.  Grads w.r.t. locations and
+attention weights then fall out of an elementwise ``jax.vjp`` through the
+tap-weight folding (``_prep_taps``) contracted with ``v_dot``: since the tap
+*indices* are piecewise-constant in the locations (zero derivative a.e.),
+``d out / d loc == d(folded_w)/d loc · v_dot`` exactly, matching AD of the
+XLA formulation.
 """
 from __future__ import annotations
 
@@ -30,8 +39,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from ..ms_deform_attn import ms_deform_attn_xla
 
 LANE = 128
 TAPS_PER_POINT = 4
@@ -144,26 +151,27 @@ def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
                     attention_weights)
 
 
-def _forward(value, spatial_shapes, sampling_locations, attention_weights):
-    B, N, H, D = value.shape
-    Q = sampling_locations.shape[1]
-    L = len(spatial_shapes)
-    P = sampling_locations.shape[4]
-    assert P * TAPS_PER_POINT == GROUP, (
-        f"P={P}: kernel currently assumes P*4 == {GROUP} taps per query")
+CB = 32  # chunks per grid step
 
-    # tile bases per level (each level starts at a tile boundary)
+
+def _tile_bases(spatial_shapes):
+    """Per-level tile offsets; each level starts at a tile boundary."""
     tile_base = []
     t = 0
     for (Hl, Wl) in spatial_shapes:
         tile_base.append(t)
         t += _round_up(Hl * Wl, LANE) // LANE
-    T_total = t
+    return tile_base, t
 
-    # value tables (BH, T_total, D, LANE), channel-major
+
+def _value_tables(value, spatial_shapes, T_total):
+    """Pack (B, N, H, D) values into channel-major (BH, T, D, LANE) tables.
+
+    f32: Mosaic's lane lookup does not compile for bf16 tiles."""
+    B, N, H, D = value.shape
     vt = []
     start = 0
-    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+    for (Hl, Wl) in spatial_shapes:
         n = Hl * Wl
         v = jax.lax.slice_in_dim(value, start, start + n, axis=1)
         v = v.transpose(0, 2, 3, 1)
@@ -171,13 +179,17 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
         v = jnp.pad(v, ((0, 0),) * 3 + ((0, pad),))
         vt.append(v.reshape(B, H, D, -1, LANE).transpose(0, 1, 3, 2, 4))
         start += n
-    # f32 tables: Mosaic's lane lookup does not compile for bf16 tiles
-    val = jnp.concatenate(vt, 2).reshape(
+    return jnp.concatenate(vt, 2).reshape(
         B * H, T_total, D, LANE).astype(jnp.float32)
 
-    # pad queries so chunks fill CB-sized grid steps
-    CB = 32
-    assert CB % PACK == 0
+
+def _pad_queries(sampling_locations, attention_weights):
+    """Pad the query axis so chunks fill CB-sized grid steps.
+
+    Padded locations replicate the edge query (gradient-safe: their
+    attention weights are zero-padded, so every padded-tap weight — and
+    with it d/d loc — is exactly 0)."""
+    Q = sampling_locations.shape[1]
     Qpad = _round_up(Q, QPC * CB)
     if Qpad != Q:
         padq = Qpad - Q
@@ -186,6 +198,23 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
             mode="edge")
         attention_weights = jnp.pad(
             attention_weights, ((0, 0), (0, padq)) + ((0, 0),) * 3)
+    return sampling_locations, attention_weights, Qpad
+
+
+def _forward(value, spatial_shapes, sampling_locations, attention_weights):
+    B, N, H, D = value.shape
+    Q = sampling_locations.shape[1]
+    L = len(spatial_shapes)
+    P = sampling_locations.shape[4]
+    assert P * TAPS_PER_POINT == GROUP, (
+        f"P={P}: kernel currently assumes P*4 == {GROUP} taps per query")
+
+    tile_base, T_total = _tile_bases(spatial_shapes)
+    val = _value_tables(value, spatial_shapes, T_total)
+
+    assert CB % PACK == 0
+    sampling_locations, attention_weights, Qpad = _pad_queries(
+        sampling_locations, attention_weights)
     NC = Qpad * GROUP // LANE
     idx, w = _prep_taps(spatial_shapes, sampling_locations,
                         attention_weights, tile_base)
@@ -216,6 +245,145 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
     return out.reshape(B, Q, H * D).astype(value.dtype)
 
 
+def _msda_bwd_kernel(idx_ref, w_ref, val_ref, g_ref, vdot_ref, gval_ref):
+    """Fused backward: per-tap value dots + grad_value scatter.
+
+    Grid (BH, NC//CB, L), levels fastest.  ``gval_ref`` (the channel-major
+    grad_value table) stays VMEM-resident per BH and accumulates across all
+    (chunk-block, level) steps; ``vdot_ref`` mirrors the tap layout."""
+    l = pl.program_id(2)
+    D = val_ref.shape[2]
+
+    @pl.when((pl.program_id(1) == 0) & (l == 0))
+    def _():
+        gval_ref[...] = jnp.zeros_like(gval_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 1)
+    gt = (lanes // GROUP == rows).astype(jnp.float32)       # (QPC, LANE)
+    lane_j = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+    T_total = val_ref.shape[1]
+    STATIC_PROBES = 4
+
+    for c in range(CB):
+        taps = idx_ref[0, 0, 0, c]                  # (1, LANE) int32
+        w = w_ref[0, 0, 0, c]                       # (1, LANE) f32
+        g8 = g_ref[0, c * QPC:(c + 1) * QPC, :]     # (QPC, D) f32
+        # per-tap incoming-grad rows: R[d, k] = g8[query(k), d]
+        R = jax.lax.dot_general(
+            g8, gt, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)      # (D, LANE)
+        Rs = R * w                                   # folded-weight rows
+        taps_b = jnp.broadcast_to(taps, (D, LANE))
+        tmin = jnp.min(taps) // LANE
+        tmax = jnp.max(taps) // LANE
+
+        def probe(t, active, vdot):
+            tile = val_ref[0, t]                     # (D, LANE)
+            lane = taps_b - t * LANE
+            hit = (lane >= 0) & (lane < LANE) & active
+            gv = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
+                                     axis=1)
+            gv = jnp.where(hit, gv, 0.0).astype(jnp.float32)
+            vdot = vdot + jnp.sum(gv * R, axis=0, keepdims=True)
+            # scatter folded rows into the tile: oh[j, k] = (lane_k == j)
+            oh = ((lane[0:1] == lane_j) & hit[0:1]).astype(jnp.float32)
+            contrib = jax.lax.dot_general(
+                Rs, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # (D, LANE_j)
+            gval_ref[0, t] += contrib
+            return vdot
+
+        vdot = jnp.zeros((1, LANE), jnp.float32)
+        for k in range(STATIC_PROBES):
+            t = jnp.minimum(tmin + k, T_total - 1)
+            vdot = probe(t, tmin + k <= tmax, vdot)
+        vdot = jax.lax.cond(
+            tmax - tmin >= STATIC_PROBES,
+            lambda v: jax.lax.fori_loop(
+                tmin + STATIC_PROBES, tmax + 1,
+                lambda t, vv: probe(t, jnp.bool_(True), vv), v),
+            lambda v: v, vdot)
+        vdot_ref[0, 0, 0, c] = vdot
+
+
+def _backward(value, spatial_shapes, sampling_locations, attention_weights,
+              g):
+    B, N, H, D = value.shape
+    Q = sampling_locations.shape[1]
+    L = len(spatial_shapes)
+
+    tile_base, T_total = _tile_bases(spatial_shapes)
+    val = _value_tables(value, spatial_shapes, T_total)
+    locs_p, attn_p, Qpad = _pad_queries(sampling_locations,
+                                        attention_weights)
+    NC = Qpad * GROUP // LANE
+    idx, w = _prep_taps(spatial_shapes, locs_p, attn_p, tile_base)
+    idx = idx.reshape(B * H, L, NC // CB, CB, 1, LANE)
+    w = w.reshape(B * H, L, NC // CB, CB, 1, LANE)
+    g_bh = g.reshape(B, Q, H, D).transpose(0, 2, 1, 3).reshape(
+        B * H, Q, D).astype(jnp.float32)
+    g_bh = jnp.pad(g_bh, ((0, 0), (0, Qpad - Q), (0, 0)))
+
+    vdot, gval = pl.pallas_call(
+        _msda_bwd_kernel,
+        grid=(B * H, NC // CB, L),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, CB, 1, LANE),
+                         lambda bh, c, l: (bh, l, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, CB, 1, LANE),
+                         lambda bh, c, l: (bh, l, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T_total, D, LANE),
+                         lambda bh, c, l: (bh, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QPC * CB, D),
+                         lambda bh, c, l: (bh, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, CB, 1, LANE),
+                         lambda bh, c, l: (bh, l, c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T_total, D, LANE),
+                         lambda bh, c, l: (bh, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B * H, L, NC // CB, CB, 1, LANE),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((B * H, T_total, D, LANE), jnp.float32),
+        ),
+    )(idx, w, val, g_bh)
+
+    # unpack grad_value tables back to (B, N, H, D)
+    gval = gval.reshape(B, H, T_total, D, LANE)
+    parts = []
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        n = Hl * Wl
+        nt = _round_up(n, LANE) // LANE
+        v = gval[:, :, tile_base[lvl]:tile_base[lvl] + nt]
+        v = v.transpose(0, 1, 3, 2, 4).reshape(B, H, D, nt * LANE)[..., :n]
+        parts.append(v)
+    g_val = jnp.concatenate(parts, -1).transpose(0, 3, 1, 2).astype(
+        value.dtype)
+
+    # grads w.r.t. locations / attention weights: tap indices are
+    # piecewise-constant in the locations (floor), so the exact gradient is
+    # the vjp of the folded tap weights contracted with the per-tap value
+    # dots — purely elementwise, no gathers.
+    _, vjp_w = jax.vjp(
+        lambda lo, at: _prep_taps(spatial_shapes, lo, at, tile_base)[1],
+        locs_p, attn_p)
+    g_loc_p, g_attn_p = vjp_w(vdot.reshape(B, H, L, Qpad * GROUP))
+    g_loc = g_loc_p[:, :Q].astype(sampling_locations.dtype)
+    g_attn = g_attn_p[:, :Q].astype(attention_weights.dtype)
+    return g_val, g_loc, g_attn
+
+
 def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
     out = _forward(value, spatial_shapes, sampling_locations,
                    attention_weights)
@@ -224,10 +392,7 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
 
 def _bwd(spatial_shapes, res, g):
     value, locs, weights = res
-    _, vjp = jax.vjp(
-        lambda v, l, w: ms_deform_attn_xla(v, spatial_shapes, l, w),
-        value, locs, weights)
-    return vjp(g)
+    return _backward(value, spatial_shapes, locs, weights, g)
 
 
 ms_deform_attn_pallas.defvjp(_fwd, _bwd)

@@ -36,3 +36,37 @@ def test_pallas_matches_xla_including_adversarial_spans():
     got2 = np.asarray(jax.jit(
         lambda a, b, c: ms_deform_attn_pallas(a, SH2, b, c))(v2, loc2, w2))
     np.testing.assert_allclose(got2, want2, atol=1e-5)
+
+
+@tpu_only
+def test_pallas_fused_backward_matches_xla_grads():
+    """The fused backward kernel (VMEM grad_value scatter + per-tap value
+    dots) must match AD of the XLA formulation on all three inputs."""
+    import jax.numpy as jnp
+    from pavenet_tpu.ops.pallas.msda import ms_deform_attn_pallas
+
+    rng = np.random.RandomState(1)
+    for SH, B, Q, H, Dh in [
+        (((9, 13), (5, 7), (3, 4)), 2, 11, 4, 32),
+        (((40, 52), (20, 26)), 1, 77, 2, 32),  # long spans -> dynamic tail
+    ]:
+        N = sum(h * w for h, w in SH)
+        L = len(SH)
+        v = rng.randn(B, N, H, Dh).astype(np.float32)
+        loc = (rng.rand(B, Q, H, L, 4, 2) * 1.2 - 0.1).astype(np.float32)
+        w = rng.rand(B, Q, H, L, 4).astype(np.float32)
+        w /= w.reshape(B, Q, H, -1).sum(-1).reshape(B, Q, H, 1, 1)
+        g = rng.randn(B, Q, H * Dh).astype(np.float32)
+
+        gx = jax.jit(jax.grad(
+            lambda *a: jnp.vdot(ms_deform_attn_xla(a[0], SH, a[1], a[2]), g),
+            argnums=(0, 1, 2)))(v, loc, w)
+        gp = jax.jit(jax.grad(
+            lambda *a: jnp.vdot(
+                ms_deform_attn_pallas(a[0], SH, a[1], a[2]), g),
+            argnums=(0, 1, 2)))(v, loc, w)
+        for name, a, b in zip(("g_val", "g_loc", "g_attn"), gx, gp):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1.0
+            np.testing.assert_allclose(b, a, atol=1e-4 * scale,
+                                       err_msg=f"{SH} {name}")
