@@ -1,0 +1,20 @@
+# PETR Swin-L COCO (rebuild of the reference config
+# configs/petr/petr_swin-l-p4-w7-224-22kto1k_16x1_100e_coco.py)
+_base_ = './petr_r50_16x2_100e_coco.py'
+model = dict(
+    backbone=dict(
+        _delete_=True,
+        type='mmdet.SwinTransformer',
+        embed_dims=192,
+        depths=[2, 2, 18, 2],
+        num_heads=[6, 12, 24, 48],
+        window_size=7,
+        mlp_ratio=4,
+        qkv_bias=True,
+        drop_path_rate=0.3,
+        patch_norm=True,
+        out_indices=(1, 2, 3),
+        with_cp=False),
+    neck=dict(in_channels=[384, 768, 1536]))
+data = dict(samples_per_gpu=1, workers_per_gpu=1)
+optimizer = dict(lr=1e-4)

@@ -42,6 +42,41 @@ class PosetrackPoseDataset(CocoPoseDataset):
         return infos
 
 
+@DATASETS.register_module(name=["CocoInstanceDataset", "CocoDataset"])
+class CocoInstanceDataset(CocoPoseDataset):
+    """COCO 80-class instance annotations (boxes + labels + raw polygon
+    segmentations) for SOIT/DK-DETR (reference uses ``mmdet.CocoDataset``
+    via ``configs/_base_/datasets/coco_instance.py``)."""
+    CLASSES = None  # all categories
+    NUM_KEYPOINTS = 0
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("min_keypoints", 0)
+        super().__init__(*args, **kwargs)
+
+    def get_ann(self, idx):
+        info = self.data_infos[idx]
+        boxes, labels, areas, segs = [], [], [], []
+        cat2label = {c: i for i, c in enumerate(sorted(
+            self.coco.get_cat_ids()))}
+        for ann in self.coco.img_to_anns[info["id"]]:
+            if ann.get("iscrowd", 0):
+                continue
+            x, y, w, h = ann.get("bbox", [0, 0, 0, 0])
+            boxes.append([x, y, x + w, y + h])
+            labels.append(cat2label[ann["category_id"]])
+            areas.append(ann.get("area", w * h))
+            segs.append(ann.get("segmentation"))
+        return dict(
+            keypoints=np.zeros((len(boxes), 0, 3), np.float32),
+            areas=np.asarray(areas, np.float32),
+            bboxes=(np.asarray(boxes, np.float32) if boxes
+                    else np.zeros((0, 4), np.float32)),
+            labels=np.asarray(labels, np.int64),
+            segmentations=segs,
+        )
+
+
 @DATASETS.register_module()
 class Objects365Dataset(CocoPoseDataset):
     """Box-only dataset (keypoints fields left empty)."""

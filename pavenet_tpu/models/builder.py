@@ -3,8 +3,21 @@
 Keeps the reference's config surface (``opera/models/builder.py``: a
 ``model = dict(type='opera.VideoPoseV1', backbone=..., bbox_head=...)``
 dict) while mapping onto the collapsed flax architecture.  The mm-style
-nested component configs are translated to ``VideoPoseDetector`` hyper-
-parameters; unknown experimental knobs raise rather than silently drift.
+nested component configs are translated to detector hyperparameters;
+unknown experimental knobs raise rather than silently drift.
+
+Recipe mapping rules (checked against the reference configs):
+
+- ``bbox_head.loss_kpt.type`` picks the keypoint loss family
+  (``opera.RLELoss`` -> 'rle', ``mmdet.L1Loss`` -> 'l1'); all per-loss
+  weights flow through (``configs/petr/petr_r50_16x2_100e_coco.py:103-114``
+  vs ``configs/videopose/2025-2-13/...posetrack17.py:119-131``).
+- Poseur rescoring + OKS-NMS are baked into the *video* head's inference
+  (``videopose_head_mul_frames.py:1466-1504``) and absent from PETR's
+  (``petr_head.py:896``), so they key off the head type.
+- The heatmap branch exists in both transformers (``hm_encoder``) but its
+  loss weight is 0.0 in the video production config — ``with_heatmap``
+  follows the loss weight.
 """
 from __future__ import annotations
 
@@ -22,29 +35,56 @@ def _type_name(cfg, default=None):
     return split_scope_key(cfg.get("type", default))[1]
 
 
+def _backbone_kwargs(backbone: dict) -> dict:
+    """Map a reference backbone config to detector kwargs."""
+    btype = _type_name(backbone, "ResNet")
+    if btype == "ResNet":
+        return dict(
+            backbone_type="resnet",
+            backbone_depth=backbone.get("depth", 50),
+            backbone_out_indices=tuple(
+                backbone.get("out_indices", (1, 2, 3))))
+    if btype == "SwinTransformer":
+        return dict(
+            backbone_type="swin",
+            backbone_out_indices=tuple(
+                backbone.get("out_indices", (1, 2, 3))),
+            swin_embed_dims=backbone.get("embed_dims", 192),
+            swin_depths=tuple(backbone.get("depths", (2, 2, 18, 2))),
+            swin_num_heads=tuple(
+                backbone.get("num_heads", (6, 12, 24, 48))),
+            swin_window_size=backbone.get("window_size", 7))
+    raise KeyError(f"unsupported backbone {btype!r}")
+
+
+def _loss_weight(head, key, default=0.0):
+    return head.get(key, {}).get("loss_weight", default)
+
+
 def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
                    test_cfg: Optional[dict] = None,
-                   dtype=jnp.float32) -> VideoPoseDetector:
+                   dtype=jnp.float32):
     """Build a detector from a reference-style model config dict."""
     cfg = dict(cfg)
     det_type = _type_name(cfg)
-    if det_type == "SOIT":
+    if det_type in ("SOIT", "DKDETR"):
         return _build_soit(cfg, train_cfg, test_cfg, dtype)
+    if det_type == "InsPose":
+        return _build_inspose(cfg, train_cfg, test_cfg, dtype)
     if det_type not in ("VideoPoseV1", "VideoPoseV2", "PETR"):
         raise KeyError(f"unsupported detector type {det_type!r}")
 
-    backbone = cfg.get("backbone", {})
-    if _type_name(backbone, "ResNet") != "ResNet":
-        raise KeyError(
-            f"unsupported backbone {_type_name(backbone)!r} (Swin lands in "
-            "a later milestone)")
     head = cfg.get("bbox_head", {})
+    head_type = _type_name(head, "PETRHead" if det_type == "PETR"
+                           else "VideoPoseHeadMulFrames")
     transformer = head.get("transformer", {})
     encoder = transformer.get("encoder", {})
+    enc_layers = encoder.get("transformerlayers", {})
     decoder = transformer.get("decoder", {})
     refine = transformer.get("refine_decoder", {})
     train_cfg = train_cfg if train_cfg is not None else cfg.get("train_cfg")
     test_cfg = test_cfg if test_cfg is not None else cfg.get("test_cfg")
+    test_cfg = test_cfg or {}
 
     def cost_weight(name, default):
         if not train_cfg:
@@ -52,31 +92,44 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
         return train_cfg.get("assigner", {}).get(name, {}).get(
             "weight", default)
 
-    num_frames = head.get("num_frames", 1 if det_type == "PETR" else 3)
+    is_petr = head_type == "PETRHead"
+    num_frames = head.get("num_frames", 1 if is_petr else 3)
+    kpt_loss_type = _type_name(head.get("loss_kpt"),
+                               "L1Loss" if is_petr else "RLELoss")
+    kpt_loss = {"RLELoss": "rle", "L1Loss": "l1"}.get(kpt_loss_type)
+    if kpt_loss is None:
+        raise KeyError(f"unsupported loss_kpt type {kpt_loss_type!r}")
+    loss_hm_weight = _loss_weight(head, "loss_hm", 0.0)
+
     kwargs = dict(
         num_frames=num_frames,
-        num_keypoints=head.get("num_keypoints", 17),
+        num_keypoints=head.get("num_keypoints", 17 if is_petr else 15),
         num_classes=head.get("num_classes", 1),
         num_query=head.get("num_query", 300),
-        backbone_depth=backbone.get("depth", 50),
-        backbone_out_indices=tuple(backbone.get("out_indices", (1, 2, 3))),
-        embed_dims=encoder.get("transformerlayers", {}).get(
-            "attn_cfgs", {}).get("embed_dims", 256),
+        embed_dims=enc_layers.get("attn_cfgs", {}).get("embed_dims", 256),
+        feedforward_channels=enc_layers.get("feedforward_channels", 1024),
         num_encoder_layers=encoder.get("num_layers", 6),
         num_decoder_layers=decoder.get("num_layers", 3),
         num_refine_layers=refine.get("num_layers", 2),
-        loss_cls_weight=head.get("loss_cls", {}).get("loss_weight", 0.5),
-        loss_kpt_weight=head.get("loss_kpt", {}).get("loss_weight", 1.0),
-        loss_kpt_rpn_weight=head.get("loss_kpt_rpn", {}).get(
-            "loss_weight", 1.0),
-        loss_kpt_refine_weight=head.get("loss_kpt_refine", {}).get(
-            "loss_weight", 1.0),
+        kpt_loss=kpt_loss,
+        with_heatmap=loss_hm_weight > 0,
+        # rescoring + OKS-NMS live in the video head's get_bboxes only
+        with_rescoring=test_cfg.get("with_rescoring", not is_petr),
+        with_nms=test_cfg.get("with_nms", not is_petr),
+        loss_cls_weight=_loss_weight(head, "loss_cls", 0.5),
+        loss_kpt_weight=_loss_weight(head, "loss_kpt", 1.0),
+        loss_kpt_rpn_weight=_loss_weight(head, "loss_kpt_rpn", 1.0),
+        loss_kpt_refine_weight=_loss_weight(head, "loss_kpt_refine", 1.0),
+        loss_oks_weight=_loss_weight(head, "loss_oks", 0.0),
+        loss_oks_refine_weight=_loss_weight(head, "loss_oks_refine", 0.0),
+        loss_hm_weight=loss_hm_weight,
         cls_cost_weight=cost_weight("cls_cost", 2.0),
         kpt_cost_weight=cost_weight("kpt_cost", 70.0),
         oks_cost_weight=cost_weight("oks_cost", 7.0),
-        max_per_img=(test_cfg or {}).get("max_per_img", 100),
+        max_per_img=test_cfg.get("max_per_img", 100),
         dtype=dtype,
     )
+    kwargs.update(_backbone_kwargs(cfg.get("backbone", {})))
     return VideoPoseDetector(**kwargs)
 
 
@@ -84,8 +137,18 @@ def _build_soit(cfg, train_cfg, test_cfg, dtype):
     from .detectors.soit import SOITDetector
     head = cfg.get("bbox_head", {})
     backbone = cfg.get("backbone", {})
+    if _type_name(backbone, "ResNet") != "ResNet":
+        raise KeyError("SOIT rebuild supports ResNet backbones only")
     transformer = head.get("transformer", {})
+    train_cfg = train_cfg if train_cfg is not None else cfg.get("train_cfg")
     test_cfg = test_cfg if test_cfg is not None else cfg.get("test_cfg", {})
+
+    def cost_weight(name, default):
+        if not train_cfg:
+            return default
+        return train_cfg.get("assigner", {}).get(name, {}).get(
+            "weight", default)
+
     return SOITDetector(
         num_classes=head.get("num_classes", 80),
         num_query=head.get("num_query", 300),
@@ -94,6 +157,35 @@ def _build_soit(cfg, train_cfg, test_cfg, dtype):
             "num_layers", 6),
         num_decoder_layers=transformer.get("decoder", {}).get(
             "num_layers", 6),
+        mask_channels=transformer.get("mask_channels", 8),
+        dynamic_params_dims=head.get("dynamic_params_dims", 441),
+        loss_cls_weight=_loss_weight(head, "loss_cls", 2.0),
+        loss_bbox_weight=_loss_weight(head, "loss_bbox", 5.0),
+        loss_iou_weight=_loss_weight(head, "loss_iou", 2.0),
+        dice_mask_loss_weight=head.get("dice_mask_loss_weight", 8.0),
+        bce_mask_loss_weight=head.get("bce_mask_loss_weight", 2.0),
+        cls_cost_weight=cost_weight("cls_cost", 2.0),
+        reg_cost_weight=cost_weight("reg_cost", 5.0),
+        iou_cost_weight=cost_weight("iou_cost", 2.0),
+        max_per_img=(test_cfg or {}).get("max_per_img", 100),
+        dtype=dtype)
+
+
+def _build_inspose(cfg, train_cfg, test_cfg, dtype):
+    from .detectors.inspose import InsPoseDetector
+    head = cfg.get("bbox_head", {})
+    backbone = cfg.get("backbone", {})
+    if _type_name(backbone, "ResNet") != "ResNet":
+        raise KeyError("InsPose rebuild supports ResNet backbones only")
+    test_cfg = test_cfg if test_cfg is not None else cfg.get("test_cfg", {})
+    return InsPoseDetector(
+        num_classes=head.get("num_classes", 1),
+        num_keypoints=head.get("num_keypoints", 17),
+        backbone_depth=backbone.get("depth", 50),
+        feat_channels=head.get("feat_channels", 256),
+        stacked_convs=head.get("stacked_convs", 3),
+        loss_cls_weight=_loss_weight(head, "loss_cls", 1.0),
+        loss_hm_weight=_loss_weight(head, "loss_hm", 1.0),
         max_per_img=(test_cfg or {}).get("max_per_img", 100),
         dtype=dtype)
 

@@ -59,7 +59,8 @@ def soit_r50_coco(**overrides):
     from .detectors.soit import SOITDetector
     kwargs = dict(num_classes=80, num_query=300, max_gt=30,
                   backbone_depth=50, embed_dims=256, num_encoder_layers=6,
-                  num_decoder_layers=6, max_per_img=100)
+                  num_decoder_layers=6, max_per_img=100,
+                  dice_mask_loss_weight=8.0, bce_mask_loss_weight=2.0)
     kwargs.update(overrides)
     return SOITDetector(**kwargs)
 
