@@ -18,9 +18,16 @@ import jax
 
 
 def run_inference(model, variables, loader, score_thr: float = 0.0,
-                  logger=None) -> List[dict]:
-    """Returns COCO-style keypoint detection dicts."""
-    infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+                  logger=None, flip_test: bool = False) -> List[dict]:
+    """Returns COCO-style keypoint detection dicts.
+
+    ``flip_test`` merges original + horizontally-flipped predictions via
+    box NMS (the reference's ``aug_test``, ``videoposev1.py:224``)."""
+    if flip_test:
+        infer = jax.jit(lambda v, b: model.apply(
+            v, b, method="forward_test_flip"))
+    else:
+        infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
     detections: List[dict] = []
     t_total, n_clips = 0.0, 0
     for batch in loader:
@@ -29,7 +36,11 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
         out = jax.tree.map(np.asarray, infer(variables, feed))
         t_total += time.time() - t0
         n_clips += len(batch["img"])
+        row_valid = batch.get("_row_valid",
+                              np.ones(len(batch["img"]), bool))
         for b in range(len(batch["img"])):
+            if not row_valid[b]:   # repeat-padded tail row — skip
+                continue
             keep = out["keep"][b]
             kpts = out["det_kpts"][b]          # (M, K, 3)
             scores = out["det_bboxes"][b, :, 4]
@@ -48,6 +59,34 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
     return detections
 
 
+def gather_detections(detections: List[dict]) -> List[dict]:
+    """All-gather detection dicts across processes (the reference's
+    ``collect_results_gpu``, ``opera/apis/test.py:247`` — rank tensors
+    all-gathered after pickle-padding; here json bytes padded to the max
+    payload size and gathered with ``multihost_utils``).
+
+    Single-process: identity.
+    """
+    if jax.process_count() == 1:
+        return detections
+    import json
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(
+        json.dumps(detections).encode("utf-8"), np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([payload.size], np.int64))
+    maxlen = int(sizes.max())
+    padded = np.zeros(maxlen, np.uint8)
+    padded[:payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    out: List[dict] = []
+    for p in range(gathered.shape[0]):
+        n = int(np.asarray(sizes).reshape(-1)[p])
+        out.extend(json.loads(bytes(gathered[p][:n]).decode("utf-8")))
+    return out
+
+
 def evaluate_dataset(dataset, detections: List[dict],
                      metric: str = "keypoints",
                      max_dets: int = 30) -> "OrderedDict":
@@ -56,6 +95,17 @@ def evaluate_dataset(dataset, detections: List[dict],
     from ..datasets.coco_api import COCO
 
     results = OrderedDict()
+    if detections and "keypoints" not in detections[0]:
+        # detection/instance-seg models (SOIT, DK-DETR, Objects365)
+        from ..core.eval.coco_det_eval import COCODetEval
+        dt = dataset.coco.load_res(detections)
+        bbox_res = COCODetEval(dataset.coco, dt, iou_type="bbox").evaluate()
+        results.update({f"bbox/{k}": v for k, v in bbox_res.items()})
+        if "segmentation" in detections[0]:
+            segm_res = COCODetEval(dataset.coco, dt,
+                                   iou_type="segm").evaluate()
+            results.update({f"segm/{k}": v for k, v in segm_res.items()})
+        return results
     if detections:
         dt = dataset.coco.load_res(detections)
         sigmas = None
@@ -73,4 +123,15 @@ def evaluate_dataset(dataset, detections: List[dict],
         for k, v in pt.items():
             if k != "per_joint":
                 results[f"posetrack/{k}"] = v
+        # MOTA needs per-detection track ids (an external/user tracker;
+        # the reference evaluates AP only, eval_track=False at
+        # ``posetrack_video_pose.py:512``, but ships the capability)
+        if detections and all("track_id" in d for d in detections):
+            from ..core.eval.posetrack_track_eval import (
+                evaluate_posetrack_mota)
+            mot = evaluate_posetrack_mota(
+                frames, [fr["seq_id"] for fr in frames])
+            for k, v in mot.items():
+                if k != "mota_per_joint":
+                    results[f"posetrack/{k}"] = v
     return results

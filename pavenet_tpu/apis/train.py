@@ -106,7 +106,8 @@ def create_train_state(model, batch, seed: int = 0, tx=None,
     if tx is None:
         tx = build_optimizer(params, **(tx_kwargs or {}))
     opt_state = jax.jit(tx.init)(params)
-    ema = params if ema_decay > 0 else None
+    # distinct buffers: aliasing params would double-donate under jit
+    ema = jax.tree.map(jnp.copy, params) if ema_decay > 0 else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
                       rng=rkey, ema_params=ema), tx

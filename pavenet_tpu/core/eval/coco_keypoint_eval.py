@@ -27,9 +27,9 @@ class COCOKeypointEval:
         """gt_coco/dt_coco: ``pavenet_tpu.datasets.coco_api.COCO``."""
         self.gt = gt_coco
         self.dt = dt_coco
-        num_k = len(np.asarray(
-            next(iter(dt_coco.anns.values()))["keypoints"]).reshape(-1, 3)
-        ) if dt_coco.anns else 17
+        first = next(iter(dt_coco.anns.values()), {}) if dt_coco.anns else {}
+        num_k = (len(np.asarray(first["keypoints"]).reshape(-1, 3))
+                 if "keypoints" in first else 17)
         self.sigmas = (np.asarray(sigmas) if sigmas is not None
                        else OKS_SIGMAS.get(num_k, OKS_SIGMAS[17]))
         self.max_dets = max_dets
@@ -73,15 +73,20 @@ class COCOKeypointEval:
                 ious[i, j] = np.sum(np.exp(-e)) / e.shape[0]
         return ious
 
+    def _gt_ignore(self, g: dict, area_rng) -> int:
+        """Keypoint-eval GT ignore rule (crowd / no labeled keypoints /
+        outside area range); detection eval overrides this."""
+        return int(
+            g.get("iscrowd", 0) or g.get("num_keypoints", 0) == 0
+            or not (area_rng[0] <= g.get("area", 0) <= area_rng[1]))
+
     def _evaluate_img(self, img_id: int, area_rng) -> Optional[dict]:
         gts = [g for g in self.gt.img_to_anns.get(img_id, [])]
         dts = [d for d in self.dt.img_to_anns.get(img_id, [])]
         if not gts and not dts:
             return None
         for g in gts:
-            g["_ignore"] = int(
-                g.get("iscrowd", 0) or g.get("num_keypoints", 0) == 0
-                or not (area_rng[0] <= g.get("area", 0) <= area_rng[1]))
+            g["_ignore"] = self._gt_ignore(g, area_rng)
         gts = sorted(gts, key=lambda g: g["_ignore"])
         dts = sorted(dts, key=lambda d: -d.get("score", 0))[:self.max_dets]
         ious = self._oks(gts, dts)

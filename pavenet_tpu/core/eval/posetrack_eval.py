@@ -139,18 +139,24 @@ def evaluate_posetrack_ap(frames: Sequence[dict],
             labels[j].extend(l[j])
         n_gt += n
 
-    ap = np.full(J, np.nan)
+    # edge semantics exactly as poseval ``computeMetrics``: no samples at
+    # all -> AP stays 0 (counted in the mean); samples but zero GT ->
+    # recall undefined -> NaN (excluded from the mean)
+    ap = np.zeros(J)
     for j in range(J):
-        if n_gt[j] == 0:
-            continue
         sc = np.asarray(scores[j])
         lb = np.asarray(labels[j])
+        if len(lb) == 0:
+            continue
+        if n_gt[j] == 0:
+            ap[j] = np.nan
+            continue
         order = np.argsort(-sc)
         lb = lb[order]
         tp = np.cumsum(lb == 1)
         recall = tp / n_gt[j]
         precision = tp / np.arange(1, len(lb) + 1)
-        ap[j] = _voc_ap(recall, precision) * 100 if len(lb) else 0.0
+        ap[j] = _voc_ap(recall, precision) * 100
 
     result = OrderedDict()
     for name, idxs in _GROUPS.items():
@@ -174,7 +180,7 @@ def frames_from_coco(gt_coco, detections: Sequence[dict],
         info = gt_coco.imgs[img_id]
         if not info.get("is_labeled", True):
             continue
-        gts, heads = [], []
+        gts, heads, gt_tids = [], [], []
         for ann in gt_coco.img_to_anns.get(img_id, []):
             k = np.asarray(ann["keypoints"], np.float64).reshape(-1, 3)
             if (k[:, 2] > 0).sum() == 0:
@@ -189,20 +195,25 @@ def frames_from_coco(gt_coco, detections: Sequence[dict],
             x, y, w, h = head
             gts.append(k)
             heads.append([x, y, x + w, y + h])
-        prs, prs_s = [], []
+            gt_tids.append(ann.get("track_id", len(gt_tids)))
+        prs, prs_s, pr_tids = [], [], []
         for det in by_img.get(img_id, []):
             k = np.asarray(det["keypoints"], np.float64).reshape(-1, 3)
             prs.append(k[:, :2])
             prs_s.append(k[:, 2])
+            pr_tids.append(det.get("track_id", len(pr_tids)))
         J = NUM_JOINTS
         frames.append(dict(
             gt_points=(np.stack(gts) if gts
                        else np.zeros((0, J, 3))),
             gt_head_boxes=(np.asarray(heads) if heads
                            else np.zeros((0, 4))),
+            gt_track_ids=gt_tids,
             pr_points=(np.stack(prs) if prs else np.zeros((0, J, 2))),
             pr_scores=(np.stack(prs_s) if prs_s else np.zeros((0, J))),
             pr_valid=(np.stack(prs_s) > score_thresh if prs_s
                       else np.zeros((0, J), bool)),
+            pr_track_ids=pr_tids,
+            seq_id=info.get("vid_id", 0),
         ))
     return frames

@@ -31,6 +31,12 @@ def pad_gt(sample: dict, max_gt: int, num_keypoints: int) -> dict:
     out["gt_keypoints"] = pk
     out["gt_areas"] = np.maximum(pa, 1e-6)
     out["gt_valid"] = pv
+    out["_row_valid"] = np.ones((), bool)
+    if "gt_bboxes" in sample:
+        pb = np.zeros((max_gt, 4), np.float32)
+        if G:
+            pb[:G] = sample["gt_bboxes"][:G]
+        out["gt_bboxes"] = pb
     out.pop("gt_labels", None)
     return out
 
@@ -90,7 +96,11 @@ class ClipLoader:
         if not self.drop_last:
             for group in by_bucket.values():
                 while len(group) < self.batch_size:
-                    group.append(group[-1])  # repeat-pad the tail batch
+                    # repeat-pad the tail batch; padded rows are marked
+                    # invalid so eval never emits duplicate detections
+                    pad = dict(group[-1])
+                    pad["_row_valid"] = np.zeros((), bool)
+                    group.append(pad)
                 yield self._collate(group)
 
     @staticmethod

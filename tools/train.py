@@ -77,14 +77,16 @@ def main():
     from pavenet_tpu.apis.train import (
         build_optimizer, create_train_state, make_train_step,
         step_lr_schedule)
-    from pavenet_tpu.parallel.mesh import make_mesh, put_batch
+    from pavenet_tpu.parallel.mesh import (
+        make_mesh, put_batch, maybe_init_distributed)
     from pavenet_tpu.utils.checkpoint import (
         save_checkpoint, restore_checkpoint, find_latest_checkpoint)
 
+    maybe_init_distributed(logger)
     logger.info(f"devices: {jax.devices()}")
     model = build_detector(cfg.model)
     mesh = make_mesh()
-    n_dev = len(jax.devices())
+    n_dev = jax.local_device_count()  # per-process batch slice
 
     data_cfg = cfg.get("data", {})
     samples_per_gpu = data_cfg.get("samples_per_gpu", 1)
@@ -111,7 +113,9 @@ def main():
         max_gt = cfg.get("max_gt", 30)
         num_k = dataset.NUM_KEYPOINTS
         loader = ClipLoader(dataset, batch_size=batch_size, max_gt=max_gt,
-                            num_keypoints=num_k, seed=args.seed)
+                            num_keypoints=num_k, seed=args.seed,
+                            num_shards=jax.process_count(),
+                            shard_index=jax.process_index())
         steps_per_epoch = len(loader)
         def epoch_loader(epoch):
             return loader
@@ -124,13 +128,18 @@ def main():
     schedule = step_lr_schedule(opt_cfg.get("lr", 2e-5), steps_per_epoch,
                                 lr_steps)
 
+    ema_decay = 0.0
+    for hook in cfg.get("custom_hooks", []):
+        if hook.get("type", "").endswith("EMAHook"):
+            ema_decay = 1.0 - hook.get("momentum", 0.0002)
+
     first = next(iter(epoch_loader(0)))
     state, tx = create_train_state(
-        model, first, seed=args.seed,
+        model, first, seed=args.seed, ema_decay=ema_decay,
         tx_kwargs=dict(learning_rate=schedule,
                        weight_decay=opt_cfg.get("weight_decay", 1e-4),
                        grad_clip=clip, accumulate_steps=accum))
-    train_step = make_train_step(model, tx, mesh=mesh)
+    train_step = make_train_step(model, tx, mesh=mesh, ema_decay=ema_decay)
 
     start_epoch = 0
     resume = args.resume_from or (
@@ -140,10 +149,6 @@ def main():
         state = restore_checkpoint(resume, state)
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
 
-    ema_decay = 0.0
-    for hook in cfg.get("custom_hooks", []):
-        if hook.get("type", "").endswith("EMAHook"):
-            ema_decay = 1.0 - hook.get("momentum", 0.0002)
     buf = LogBuffer()
     total = 0
     log_interval = cfg.get("log_config", {}).get("interval", 40)
@@ -183,7 +188,7 @@ def main():
                 from pavenet_tpu.datasets.pipelines import (
                     build_test_pipeline)
                 from pavenet_tpu.apis.test import (
-                    run_inference, evaluate_dataset)
+                    run_inference, evaluate_dataset, gather_detections)
                 val_cfg = dict(data_cfg["val"])
                 val_cfg.pop("pipeline", None)
                 val_cfg.pop("samples_per_gpu", None)
@@ -192,14 +197,18 @@ def main():
                     **val_cfg, pipeline=build_test_pipeline(**pipe_kwargs)))
                 val_loader = ClipLoader(
                     val_ds, batch_size=1, shuffle=False, drop_last=False,
-                    num_keypoints=val_ds.NUM_KEYPOINTS)
+                    num_keypoints=val_ds.NUM_KEYPOINTS,
+                    num_shards=jax.process_count(),
+                    shard_index=jax.process_index())
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
-                dets = run_inference(model, variables, val_loader,
-                                     logger=logger)
-                for k, v in evaluate_dataset(val_ds, dets).items():
-                    if isinstance(v, float):
-                        logger.info(f"val epoch {epoch + 1} {k}: {v:.4f}")
+                dets = gather_detections(run_inference(
+                    model, variables, val_loader, logger=logger))
+                if jax.process_index() == 0:
+                    for k, v in evaluate_dataset(val_ds, dets).items():
+                        if isinstance(v, float):
+                            logger.info(
+                                f"val epoch {epoch + 1} {k}: {v:.4f}")
             except Exception as e:  # eval must not kill training
                 logger.warning(f"eval hook failed: {e}")
         if args.max_steps and total >= args.max_steps:
