@@ -5,12 +5,17 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Protocol mirrors the reference's latency setup (test scale (1333, 800)
 keep-ratio -> 800x1333 bucket; ``max_per_img=20`` "set for time counting",
 ``configs/videopose/2025-2-13/...posetrack17.py:138``; timing prints around
-``simple_test``, ``opera/models/detectors/videoposev1.py:173-183``).  The
-reference publishes no FPS number (BASELINE.md), so ``vs_baseline`` is
-reported as 1.0 until a measured reference exists.
+``simple_test``, ``opera/models/detectors/videoposev1.py:173-183``).
+
+The reference publishes no FPS number; the only executable baseline in
+this environment is the reference torch model on the host CPU
+(59.0 s/clip at the identical setting — BASELINE.md "Measured baseline"),
+so ``vs_baseline`` = TPU clips/s divided by that CPU number, recorded in
+``BASELINE.json["measured"]``.
 """
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -85,11 +90,21 @@ def main():
           f"device time/clip {per_iter*1e3:.2f}ms over {args.iters} "
           f"in-jit iters, bucket {args.height}x{args.width}, "
           f"batch {args.batch}, dtype {args.dtype}", flush=True)
+    baseline = 0.0169  # reference torch on host CPU (BASELINE.json)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BASELINE.json")) as f:
+            baseline = json.load(f)["measured"][
+                "reference_torch_cpu_clips_per_sec"]
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "pavenet_r50_frames3_clips_per_sec",
         "value": round(clips_per_sec, 3),
         "unit": "clips/s/chip",
-        "vs_baseline": 1.0,
+        # ratio to the measured reference-torch-on-host-CPU baseline
+        # (no GPU exists here; see BASELINE.md "Measured baseline")
+        "vs_baseline": round(clips_per_sec / baseline, 2),
     }), flush=True)
 
 

@@ -58,6 +58,58 @@ def step_lr_schedule(base_lr: float, steps_per_epoch: int,
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def build_lr_schedule(lr_config: dict, base_lr: float,
+                      steps_per_epoch: int, max_epochs: int = 20):
+    """mmcv ``lr_config`` -> optax schedule.
+
+    Policies (``third_party/mmcv/mmcv/runner/hooks/lr_updater.py``):
+    'step' (gamma decay at epochs; every reference config) and 'cosine'
+    (CosineAnnealingLrUpdaterHook, ``min_lr``/``min_lr_ratio``).  Warmup:
+    'linear' (factor ``1 - (1-k/N)(1-ratio)``), 'constant', 'exp' over
+    ``warmup_iters`` steps, exactly mmcv's factor formulas.
+    """
+    policy = lr_config.get("policy", "step")
+    if policy == "step":
+        gamma = lr_config.get("gamma", 0.1)
+        step = lr_config.get("step", [10])
+        if isinstance(step, int):
+            step = [step]
+        main = step_lr_schedule(base_lr, steps_per_epoch, step, gamma)
+    elif policy in ("cosine", "CosineAnnealing"):
+        min_lr = lr_config.get("min_lr")
+        if min_lr is None:
+            min_lr = base_lr * lr_config.get("min_lr_ratio", 0.0)
+        total = max(steps_per_epoch * max_epochs, 1)
+
+        def main(t):
+            frac = jnp.clip(t / total, 0.0, 1.0)
+            cos = 0.5 * (jnp.cos(jnp.pi * frac) + 1.0)
+            return min_lr + (base_lr - min_lr) * cos
+    else:
+        raise KeyError(f"unsupported lr policy {policy!r}")
+
+    warmup = lr_config.get("warmup")
+    if not warmup:
+        return main
+    n = lr_config.get("warmup_iters", 500)
+    ratio = lr_config.get("warmup_ratio", 0.1)
+
+    def schedule(t):
+        k = jnp.minimum(t, n).astype(jnp.float32)
+        if warmup == "linear":
+            factor = 1.0 - (1.0 - k / n) * (1.0 - ratio)
+        elif warmup == "constant":
+            factor = jnp.asarray(ratio, jnp.float32)
+        elif warmup == "exp":
+            factor = ratio ** (1.0 - k / n)
+        else:
+            raise KeyError(f"unsupported warmup {warmup!r}")
+        warm = main(t) * factor
+        return jnp.where(t < n, warm, main(t))
+
+    return schedule
+
+
 def build_optimizer(params,
                     learning_rate: Callable | float = 2e-5,
                     weight_decay: float = 1e-4,

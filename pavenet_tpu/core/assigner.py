@@ -70,18 +70,48 @@ def oks_cost(kpt_pred_abs, gt_kpts_abs, vis, areas, num_keypoints=15,
     return -oks * weight
 
 
+def rle_cost(kpt_pred, sigma_pred, gt_kpts_norm, vis, log_prob_fn,
+             weight: float = 1.0):
+    """RLE-based matching cost (reference experimental ``RLECost``,
+    ``opera/core/bbox/match_costs/match_cost.py:60``): per (query, gt)
+    summed RLE loss over joints, visibility-masked, divided by the number
+    of joints then by 2*num_vis.
+
+    kpt_pred (Q, K, 2); sigma_pred (Q, K, 2); gt_kpts_norm (G, K, 2);
+    vis (G, K); log_prob_fn: flow log-prob over (..., 2).  Returns (Q, G).
+    """
+    import math
+    Q, K = kpt_pred.shape[:2]
+    amp = 1.0 / math.sqrt(2 * math.pi)
+    sigma = jnp.clip(sigma_pred, 1e-9, None)
+
+    def per_gt(gt, v):
+        bar_mu = (kpt_pred - gt[None]) / sigma            # (Q, K, 2)
+        log_phi = jax.lax.stop_gradient(
+            log_prob_fn(bar_mu.reshape(-1, 2))).reshape(Q, K, 1)
+        nf = (jnp.log(sigma) - log_phi) * v[None, :, None]
+        q = (jnp.log(sigma / amp)
+             + jnp.abs(gt[None] - kpt_pred) / (math.sqrt(2) * sigma + 1e-9)
+             ) * v[None, :, None]
+        cost = (nf + q).sum((1, 2)) / K                   # (Q,)
+        return cost / jnp.maximum(v.sum() * 2.0, 1.0)
+
+    visf = (vis > 0).astype(kpt_pred.dtype)
+    return jax.vmap(per_gt, in_axes=(0, 0), out_axes=1)(
+        gt_kpts_norm, visf) * weight
+
+
 class AssignResult(NamedTuple):
     """Per-image one-to-one matching over padded GT slots."""
     query_idx: jnp.ndarray   # (G,) int32, matched query per gt (-1 invalid)
     valid: jnp.ndarray       # (G,) bool
 
 
-def pose_hungarian_assign(cls_logits, kpt_pred, gt_kpts, gt_areas, gt_valid,
-                          img_shape, num_keypoints=15,
-                          cls_weight=2.0, kpt_weight=70.0, oks_weight=7.0
-                          ) -> AssignResult:
-    """Single-image assignment. kpt_pred (Q, K, 2) normalized [0,1];
-    gt_kpts (G, K, 3) unnormalized; img_shape (2,) = (h, w)."""
+def pose_match_cost(cls_logits, kpt_pred, gt_kpts, gt_areas, img_shape,
+                    num_keypoints=15, cls_weight=2.0, kpt_weight=70.0,
+                    oks_weight=7.0) -> jnp.ndarray:
+    """(Q, G) matching cost = focal + kpt-L1 + (-OKS), the reference
+    ``PoseHungarianAssigner.assign`` cost (``hungarian_assigner.py:47``)."""
     h = img_shape[0].astype(kpt_pred.dtype)
     w = img_shape[1].astype(kpt_pred.dtype)
     factor = jnp.stack([w, h])
@@ -93,7 +123,18 @@ def pose_hungarian_assign(cls_logits, kpt_pred, gt_kpts, gt_areas, gt_valid,
     cost = cost + kpt_l1_cost(kpt_pred, gt_norm, vis, weight=kpt_weight)
     cost = cost + oks_cost(kpt_pred * factor, gt_xy, vis, gt_areas,
                            num_keypoints, weight=oks_weight)
-    cost = jnp.where(jnp.isfinite(cost), cost, 1e4)
+    return jnp.where(jnp.isfinite(cost), cost, 1e4)
+
+
+def pose_hungarian_assign(cls_logits, kpt_pred, gt_kpts, gt_areas, gt_valid,
+                          img_shape, num_keypoints=15,
+                          cls_weight=2.0, kpt_weight=70.0, oks_weight=7.0
+                          ) -> AssignResult:
+    """Single-image assignment. kpt_pred (Q, K, 2) normalized [0,1];
+    gt_kpts (G, K, 3) unnormalized; img_shape (2,) = (h, w)."""
+    cost = pose_match_cost(cls_logits, kpt_pred, gt_kpts, gt_areas,
+                           img_shape, num_keypoints, cls_weight,
+                           kpt_weight, oks_weight)
     query_idx = hungarian_masked(
         jax.lax.stop_gradient(cost).T, gt_valid)
     return AssignResult(query_idx=query_idx, valid=gt_valid)

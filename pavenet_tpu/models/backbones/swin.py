@@ -92,14 +92,16 @@ class SwinBlock(nn.Module):
         B, H, W, C = x.shape
         ws = self.window_size
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
 
         pad_b = (ws - H % ws) % ws
         pad_r = (ws - W % ws) % ws
         x = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         Hp, Wp = H + pad_b, W + pad_r
 
-        shift_size = ws // 2 if self.shift and min(Hp, Wp) > ws else 0
+        # mmdet shifts whenever configured, with no small-map special case
+        # (``mmdet/models/backbones/swin.py`` ShiftWindowMSA.forward)
+        shift_size = ws // 2 if self.shift else 0
         if shift_size:
             x = jnp.roll(x, (-shift_size, -shift_size), axis=(1, 2))
             # SW-MSA mask over padded grid
@@ -127,7 +129,7 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W]
         x = shortcut + x
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="fc1")(y)
         y = nn.gelu(y, approximate=False)
@@ -149,7 +151,7 @@ class PatchMerging(nn.Module):
         x = jnp.concatenate([
             x[:, 0::2, 0::2], x[:, 1::2, 0::2],
             x[:, 0::2, 1::2], x[:, 1::2, 1::2]], -1)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 
@@ -176,7 +178,8 @@ class SwinTransformer(nn.Module):
         x = nn.Conv(self.embed_dims, (p, p), strides=(p, p),
                     dtype=self.dtype, name="patch_embed")(x)
         if self.patch_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="patch_norm")(x)
 
         outs = []
         dim = self.embed_dims
@@ -188,7 +191,7 @@ class SwinTransformer(nn.Module):
                               mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                               name=f"stage{stage}_block{blk}")(x)
             if stage in self.out_indices:
-                y = nn.LayerNorm(dtype=self.dtype,
+                y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                                  name=f"out_norm{stage}")(x)
                 outs.append(y)
             if stage < len(self.depths) - 1:

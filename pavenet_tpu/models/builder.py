@@ -44,6 +44,11 @@ def _backbone_kwargs(backbone: dict) -> dict:
             backbone_depth=backbone.get("depth", 50),
             backbone_out_indices=tuple(
                 backbone.get("out_indices", (1, 2, 3))))
+    if btype == "HRNet":
+        stage4 = backbone.get("extra", {}).get("stage4", {})
+        width = stage4.get("num_channels", (48,))[0]
+        return dict(backbone_type="hrnet", hrnet_width=width,
+                    backbone_out_indices=(1, 2, 3))
     if btype == "SwinTransformer":
         return dict(
             backbone_type="swin",
@@ -113,6 +118,11 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
         num_refine_layers=refine.get("num_layers", 2),
         kpt_loss=kpt_loss,
         with_heatmap=loss_hm_weight > 0,
+        # PETR: pure learnable queries + per-layer reference detach
+        # (``transformer.py:4604-4607``, ``:4222``); video: topk-token
+        # queries, no detach (``:21399-21403``, ``:6729-6746``)
+        query_from_encoder_token=not is_petr,
+        detach_decoder_refs=is_petr,
         # rescoring + OKS-NMS live in the video head's get_bboxes only
         with_rescoring=test_cfg.get("with_rescoring", not is_petr),
         with_nms=test_cfg.get("with_nms", not is_petr),

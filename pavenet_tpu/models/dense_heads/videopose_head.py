@@ -130,6 +130,15 @@ class VideoPoseHead(nn.Module):
     num_kpt_fcs: int = 2
     dropout: float = 0.1
     with_heatmap: bool = False  # PETR trains a level-0 heatmap aux branch
+    # query construction: the video transformer adds the detached topk
+    # encoder token to the learnable content embed
+    # (``transformer.py:21399-21403``); PETR uses the learnable embed alone
+    # (``transformer.py:4604-4607``)
+    query_from_encoder_token: bool = True
+    # PETR's decoder detaches reference points between layers
+    # (``PetrTransformerDecoder``, ``transformer.py:4222``); the video
+    # decoder V2 does not (``transformer.py:6729-6746``)
+    detach_decoder_refs: bool = False
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
@@ -369,8 +378,12 @@ class VideoPoseHead(nn.Module):
         if self.with_heatmap and return_heatmap:
             h0, w0 = spatial_shapes[0]
             n0 = h0 * w0
+            # no positional embedding: the reference passes it under the
+            # misspelled kwarg ``query_pose`` (``transformer.py:4565``),
+            # so its hm encoder runs position-free; matched for
+            # converted-checkpoint compatibility
             hm_mem = self.hm_encoder_layer(
-                now_memory[:, :n0], pos[:, :n0],
+                now_memory[:, :n0], jnp.zeros_like(pos[:, :n0]),
                 enc_ref[:, :n0, :1], (spatial_shapes[0],), mask[:, :n0],
                 deterministic=deterministic)
             hm_outs["hm_pred"] = self.fc_hm(hm_mem).reshape(B, h0, w0, K)
@@ -403,7 +416,11 @@ class VideoPoseHead(nn.Module):
 
         # --- pose decoder ---
         query_pos, query_content = jnp.split(self.query_embedding, 2, -1)
-        query = tgt + query_content[None]
+        if self.query_from_encoder_token:
+            query = tgt + query_content[None]
+        else:
+            query = jnp.broadcast_to(query_content[None],
+                                     (B, self.num_query, C))
         query_pos = jnp.broadcast_to(query_pos[None],
                                      (B, self.num_query, C))
         ref = jax.nn.sigmoid(topk_kpts_unact)            # (B, Q, 2K)
@@ -441,6 +458,11 @@ class VideoPoseHead(nn.Module):
             ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
             hs_list.append(query)
             refs_list.append(ref)
+            if self.detach_decoder_refs:
+                # gradient reaches each layer's output through its own
+                # branch only (PETR semantics); head outputs above keep
+                # the undetached refs_list entries
+                ref = jax.lax.stop_gradient(ref)
 
         # per-layer head outputs; outputs_kpts[l] == refs_list[l][:, now]
         outputs_classes = jnp.stack(
@@ -526,6 +548,12 @@ class VideoPoseHead(nn.Module):
             kpts_out.append(ref[:, now])
             scores_out.append(score)
             sigmas_out.append(sigma)
+            if self.detach_decoder_refs:
+                # PETR's stock refine decoder detaches between layers
+                # (mmdet ``DeformableDetrTransformerDecoder``); the fork's
+                # video V1 decoder deliberately does not
+                # (``mmdet/models/utils/transformer.py:875-877``)
+                ref = jax.lax.stop_gradient(ref)
 
         return (jnp.stack(kpts_out), jnp.stack(scores_out),
                 jnp.stack(sigmas_out))

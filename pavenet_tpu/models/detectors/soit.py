@@ -213,8 +213,10 @@ class SOITDetector(nn.Module):
                          impl=self.impl, dtype=self.dtype,
                          name=f"encoder_layer{i}")
             for i in range(self.num_encoder_layers)]
+        # the reference seg encoder runs SINGLE-head deformable attention
+        # (``configs/soit/soit_r50_16x2_50e_coco.py:62`` num_heads=1)
         self.seg_encoder_layer = EncoderLayer(
-            embed_dims=C, num_heads=self.num_heads, num_levels=1,
+            embed_dims=C, num_heads=1, num_levels=1,
             feedforward_channels=self.feedforward_channels, impl=self.impl,
             dtype=self.dtype, name="seg_encoder_layer")
         self.mask_trans = nn.Dense(self.mask_channels, dtype=self.dtype,
@@ -331,7 +333,10 @@ class SOITDetector(nn.Module):
         # proposal wh starts at logit 0 (reference sets bias[2:]=0 two-stage)
         enc_coord_unact = enc_delta + jnp.concatenate(
             [prop_logit, jnp.zeros_like(prop_logit)], -1)
-        topk_scores = jnp.where(prop_valid, enc_cls.max(-1), -1e4)
+        # mmdet's two-stage topk scores on the FIRST class logit
+        # (``mmdet/models/utils/transformer.py`` DeformableDetrTransformer:
+        # ``topk(enc_outputs_class[..., 0])``), not the max
+        topk_scores = jnp.where(prop_valid, enc_cls[..., 0], -1e4)
         _, topk_idx = jax.lax.top_k(topk_scores, self.num_query)
         topk_coords = jax.lax.stop_gradient(jnp.take_along_axis(
             enc_coord_unact, topk_idx[..., None], axis=1))

@@ -30,7 +30,17 @@ from ..losses.focal_loss import sigmoid_focal_loss
 from ..losses.oks_loss import OKS_SIGMAS
 from ..losses.rle_loss import rle_loss
 from ...core.assigner import pose_hungarian_assign, build_pose_targets
-from ...ops.nms import oks_nms_keep
+from ...ops.nms import oks_nms_keep, box_nms_keep
+
+# canonical left/right keypoint pairs per keypoint count
+# (reference dataset classes: ``opera/datasets/coco_pose.py:44``,
+# ``posetrack_video_pose.py:52``, ``crowdpose_pose.py``)
+FLIP_PAIRS_BY_K = {
+    17: ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14),
+         (15, 16)),
+    15: ((3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14)),
+    14: ((0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11)),
+}
 
 
 def _gaussian_radius(height, width, min_overlap=0.7):
@@ -65,11 +75,13 @@ class VideoPoseDetector(nn.Module):
     swin_depths: Tuple[int, ...] = (2, 2, 18, 2)
     swin_num_heads: Tuple[int, ...] = (6, 12, 24, 48)
     swin_window_size: int = 7
+    hrnet_width: int = 48
     embed_dims: int = 256
     num_encoder_layers: int = 6
     num_decoder_layers: int = 3
     num_refine_layers: int = 2
     feedforward_channels: int = 1024
+    dropout: float = 0.1
     max_per_img: int = 20
     oks_nms_thr: float = 0.45
     # loss configuration. Video production config
@@ -81,6 +93,9 @@ class VideoPoseDetector(nn.Module):
     with_rescoring: bool = True
     with_heatmap: bool = False
     with_nms: bool = True
+    # PETR-vs-video architectural switches (see VideoPoseHead)
+    query_from_encoder_token: bool = True
+    detach_decoder_refs: bool = False
     loss_cls_weight: float = 0.5
     loss_kpt_weight: float = 1.0
     loss_kpt_rpn_weight: float = 1.0
@@ -105,6 +120,10 @@ class VideoPoseDetector(nn.Module):
                 window_size=self.swin_window_size,
                 out_indices=self.backbone_out_indices,
                 dtype=self.dtype, name="backbone")
+        elif self.backbone_type == "hrnet":
+            from ..backbones.hrnet import HRNet
+            self.backbone = HRNet(width=self.hrnet_width,
+                                  dtype=self.dtype, name="backbone")
         else:
             self.backbone = ResNet(depth=self.backbone_depth,
                                    out_indices=self.backbone_out_indices,
@@ -121,7 +140,10 @@ class VideoPoseDetector(nn.Module):
             num_decoder_layers=self.num_decoder_layers,
             num_refine_layers=self.num_refine_layers,
             feedforward_channels=self.feedforward_channels,
+            dropout=self.dropout,
             with_heatmap=self.with_heatmap,
+            query_from_encoder_token=self.query_from_encoder_token,
+            detach_decoder_refs=self.detach_decoder_refs,
             impl=self.impl, dtype=self.dtype, name="head")
 
     # ------------------------------------------------------------------
@@ -132,6 +154,9 @@ class VideoPoseDetector(nn.Module):
         ``mmdet/models/backbones/resnet.py:634-640``)."""
         B, T, H, W, _ = img.shape
         x = self.backbone(img.reshape(B * T, H, W, 3))
+        if self.backbone_type == "hrnet":
+            # HRNet emits all branch maps; PETR's neck takes the last 3
+            x = [x[i] for i in self.backbone_out_indices]
         feats = self.neck(x)
         return [f.reshape(B, T, *f.shape[1:]) for f in feats]
 
@@ -170,6 +195,14 @@ class VideoPoseDetector(nn.Module):
                          return_heatmap=return_heatmap)
         outs["valid_ratios"] = valid_ratios
         return outs
+
+    def refine_head(self, memory, mask_flatten, valid_ratios, ref_poses,
+                    spatial_shapes):
+        """Expose the joint decoder for apply(method=...) (parity tests,
+        custom inference drivers)."""
+        return self.head.forward_refine(
+            memory, mask_flatten, valid_ratios, ref_poses,
+            tuple(map(tuple, spatial_shapes)), deterministic=True)
 
     # ------------------------------------------------------------------
     # training
@@ -269,20 +302,25 @@ class VideoPoseDetector(nn.Module):
 
     def _heatmap_loss(self, hm_pred, hm_mask, batch):
         """CornerNet-style heatmap loss on the level-0 map (reference
-        ``loss_heatmap:896``: gt kpts at stride 8, gaussian radius from the
-        gt bbox clamped to [0, 3], umich gaussian max-overlay)."""
+        ``petr_head.py:549`` ``loss_heatmap``: gt kpts at stride 8,
+        gaussian radius from the gt *bbox* clamped to [0, 3], umich
+        gaussian max-overlay).  Falls back to the keypoint envelope when
+        the batch carries no ``gt_bboxes``."""
         from ..losses.focal_loss import center_focal_loss
         B, h0, w0, K = hm_pred.shape
         kpts = jnp.asarray(batch["gt_keypoints"])          # (B, G, K, 3)
         valid = (jnp.asarray(batch["gt_valid"])[:, :, None]
                  & (kpts[..., 2] > 0))                     # (B, G, K)
-        # per-gt radius from the keypoint bounding box (stride 8)
-        vis = (kpts[..., 2] > 0).astype(jnp.float32)
-        big = 1e9
-        x1 = jnp.min(jnp.where(vis > 0, kpts[..., 0], big), -1)
-        y1 = jnp.min(jnp.where(vis > 0, kpts[..., 1], big), -1)
-        x2 = jnp.max(jnp.where(vis > 0, kpts[..., 0], -big), -1)
-        y2 = jnp.max(jnp.where(vis > 0, kpts[..., 1], -big), -1)
+        if "gt_bboxes" in batch:
+            bb = jnp.asarray(batch["gt_bboxes"])           # (B, G, 4) xyxy
+            x1, y1, x2, y2 = bb[..., 0], bb[..., 1], bb[..., 2], bb[..., 3]
+        else:
+            vis = (kpts[..., 2] > 0).astype(jnp.float32)
+            big = 1e9
+            x1 = jnp.min(jnp.where(vis > 0, kpts[..., 0], big), -1)
+            y1 = jnp.min(jnp.where(vis > 0, kpts[..., 1], big), -1)
+            x2 = jnp.max(jnp.where(vis > 0, kpts[..., 0], -big), -1)
+            y2 = jnp.max(jnp.where(vis > 0, kpts[..., 1], -big), -1)
         gw = jnp.clip((x2 - x1) / 8.0, 0.0, None)
         gh = jnp.clip((y2 - y1) / 8.0, 0.0, None)
         radius = jnp.clip(jnp.floor(_gaussian_radius(gh, gw, 0.9)),
@@ -482,3 +520,71 @@ class VideoPoseDetector(nn.Module):
             keep = jnp.ones((B, M), bool)
         return dict(det_kpts=det_kpts, det_bboxes=det_bboxes,
                     det_labels=jnp.zeros((B, M), jnp.int32), keep=keep)
+
+    # ------------------------------------------------------------------
+    # test-time flip augmentation
+    # ------------------------------------------------------------------
+    def _flip_images(self, batch):
+        """Horizontal flip inside each sample's *valid* width (images are
+        right/bottom padded to the bucket, so a plain W-flip would move
+        content into the padding)."""
+        img = batch["img"]                                 # (B, T, H, W, 3)
+        W = img.shape[3]
+        img_w = batch["img_shape"][:, 1]
+        xs = jnp.arange(W)
+        src = jnp.where(xs[None, :] < img_w[:, None],
+                        img_w[:, None] - 1 - xs[None, :], xs[None, :])
+        flipped = jnp.take_along_axis(
+            img, src[:, None, None, :, None], axis=3)
+        return dict(batch, img=flipped)
+
+    def forward_test_flip(self, batch, rescale: bool = True,
+                          score_thr: float = 0.0, nms_iou: float = 0.7):
+        """Flip test-time augmentation: merge original + flipped-image
+        detections, box-NMS the union (reference ``aug_test``,
+        ``opera/models/detectors/videoposev1.py:224-262`` with
+        ``kpt_mapping_back`` flip-merge and ``multiclass_nms``; PETR twin
+        ``petr.py:150``).  Same output contract as ``forward_test`` —
+        padded detections + keep mask, top ``max_per_img`` overall."""
+        K, M = self.num_keypoints, self.max_per_img
+        out = self.forward_test(batch, rescale=rescale, with_nms=False)
+        out_f = self.forward_test(self._flip_images(batch),
+                                  rescale=rescale, with_nms=False)
+
+        # map flipped detections back to original orientation
+        img_w = batch["img_shape"][:, 1].astype(jnp.float32)
+        ori_w = img_w / batch["scale_factor"][:, 0] if rescale else img_w
+        kpts_f = out_f["det_kpts"]                         # (B, M, K, 3)
+        x_back = ori_w[:, None, None] - kpts_f[..., 0]
+        kpts_f = jnp.concatenate(
+            [x_back[..., None], kpts_f[..., 1:]], -1)
+        perm = list(range(K))
+        for a, b in FLIP_PAIRS_BY_K.get(K, ()):
+            perm[a], perm[b] = perm[b], perm[a]
+        kpts_f = kpts_f[:, :, jnp.asarray(perm), :]
+
+        kpts = jnp.concatenate([out["det_kpts"], kpts_f], 1)  # (B, 2M, K, 3)
+        scores = jnp.concatenate(
+            [out["det_bboxes"][..., 4], out_f["det_bboxes"][..., 4]], 1)
+        x1 = kpts[..., 0].min(-1)
+        y1 = kpts[..., 1].min(-1)
+        x2 = kpts[..., 0].max(-1)
+        y2 = kpts[..., 1].max(-1)
+        boxes = jnp.stack([x1, y1, x2, y2], -1)            # (B, 2M, 4)
+
+        keep = jax.vmap(lambda b, s: box_nms_keep(b, s, nms_iou, score_thr))(
+            boxes, scores)
+        # cap at max_per_img by score among kept
+        ranked = jnp.where(keep, scores, -jnp.inf)
+        top_scores, top_idx = jax.lax.top_k(ranked, M)     # (B, M)
+        take = lambda a: jnp.take_along_axis(
+            a, top_idx.reshape(*top_idx.shape, *(1,) * (a.ndim - 2)), axis=1)
+        det_kpts = take(kpts)
+        # merged keypoint scores reset to 1 (reference ``videoposev1.py:255``)
+        det_kpts = jnp.concatenate(
+            [det_kpts[..., :2], jnp.ones_like(det_kpts[..., :1])], -1)
+        det_bboxes = jnp.concatenate(
+            [take(boxes), top_scores[..., None]], -1)
+        return dict(det_kpts=det_kpts, det_bboxes=det_bboxes,
+                    det_labels=jnp.zeros(top_idx.shape, jnp.int32),
+                    keep=jnp.isfinite(top_scores))

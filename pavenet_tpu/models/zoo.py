@@ -30,7 +30,9 @@ def petr_r50_coco(**overrides) -> VideoPoseDetector:
         num_decoder_layers=3, num_refine_layers=2, max_per_img=40,
         # PETR loss recipe (``configs/petr/petr_r50_16x2_100e_coco.py``)
         kpt_loss="l1", with_rescoring=False, with_heatmap=True,
-        with_nms=False, loss_cls_weight=2.0, loss_kpt_weight=70.0,
+        with_nms=False, query_from_encoder_token=False,
+        detach_decoder_refs=True,
+        loss_cls_weight=2.0, loss_kpt_weight=70.0,
         loss_kpt_rpn_weight=70.0, loss_kpt_refine_weight=80.0,
         loss_oks_weight=2.0, loss_oks_refine_weight=3.0,
         loss_hm_weight=4.0)
@@ -46,7 +48,9 @@ def petr_swinl_coco(**overrides) -> VideoPoseDetector:
         backbone_type="swin", embed_dims=256, num_encoder_layers=6,
         num_decoder_layers=3, num_refine_layers=2, max_per_img=40,
         kpt_loss="l1", with_rescoring=False, with_heatmap=True,
-        with_nms=False, loss_cls_weight=2.0, loss_kpt_weight=70.0,
+        with_nms=False, query_from_encoder_token=False,
+        detach_decoder_refs=True,
+        loss_cls_weight=2.0, loss_kpt_weight=70.0,
         loss_kpt_rpn_weight=70.0, loss_kpt_refine_weight=80.0,
         loss_oks_weight=2.0, loss_oks_refine_weight=3.0,
         loss_hm_weight=4.0)

@@ -29,6 +29,58 @@ def get_root_logger(log_file=None, log_level=logging.INFO,
     return logger
 
 
+class MetricSinks:
+    """Scalar metric sinks (the reference's TextLoggerHook siblings:
+    ``mmcv/runner/hooks/logger/{tensorboard,wandb}.py``).
+
+    Always writes JSONL (``<work_dir>/metrics.jsonl``); adds TensorBoard
+    and Weights & Biases sinks when their packages are importable (the
+    baked image has neither — they are optional accelerants, not deps).
+    """
+
+    def __init__(self, work_dir=None, use_tensorboard=True,
+                 use_wandb=False, wandb_init_kwargs=None):
+        self._jsonl = None
+        self._tb = None
+        self._wandb = None
+        if work_dir is not None:
+            import os
+            self._jsonl = open(
+                os.path.join(work_dir, "metrics.jsonl"), "a")
+        if use_tensorboard and work_dir is not None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=f"{work_dir}/tf_logs")
+            except Exception:
+                self._tb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(**(wandb_init_kwargs or {}))
+            except Exception:
+                self._wandb = None
+
+    def log(self, step: int, scalars: dict):
+        if self._jsonl is not None:
+            import json
+            self._jsonl.write(json.dumps(
+                dict(step=int(step), **{k: float(v)
+                                        for k, v in scalars.items()})) + "\n")
+            self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), int(step))
+        if self._wandb is not None:
+            self._wandb.log(dict(scalars), step=int(step))
+
+    def close(self):
+        if self._jsonl is not None:
+            self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
 class LogBuffer:
     """Windowed scalar averaging for train-loop logging."""
 

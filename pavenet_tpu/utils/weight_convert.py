@@ -138,6 +138,140 @@ def _resnet(sd, depth) -> Tuple[dict, dict]:
     return params, stats
 
 
+def _conv_bn(sd, conv_key, bn_key):
+    params = {"conv": {"kernel": _conv(sd(f"{conv_key}.weight"))}}
+    bn_p, bn_s = _bn(sd, bn_key)
+    params["bn"] = bn_p
+    return params, {"bn": bn_s}
+
+
+def _hrnet(sd, width=48) -> Tuple[dict, dict]:
+    """mmdet HRNet state_dict -> flax HRNet params/batch_stats
+    (``mmdet/models/backbones/hrnet.py``: stem conv1/bn1+conv2/bn2,
+    Bottleneck layer1, transition{n} Sequentials, per-module branches +
+    fuse_layers)."""
+    from ..models.backbones.hrnet import HRNET_EXTRA
+    extra = HRNET_EXTRA[width]
+    p, st = {}, {}
+    p["stem1"], st["stem1"] = _conv_bn(sd, "backbone.conv1", "backbone.bn1")
+    p["stem2"], st["stem2"] = _conv_bn(sd, "backbone.conv2", "backbone.bn2")
+
+    _, _, (n1,), _ = extra[0]
+    for k in range(n1):
+        tp = f"backbone.layer1.{k}"
+        bp, bs = {}, {}
+        for c in (1, 2, 3):
+            bp[f"conv{c}"] = {"kernel": _conv(sd(f"{tp}.conv{c}.weight"))}
+            bp[f"bn{c}"], bs[f"bn{c}"] = _bn(sd, f"{tp}.bn{c}")
+        if sd.has(f"{tp}.downsample.0.weight"):
+            bp["downsample_conv"] = {
+                "kernel": _conv(sd(f"{tp}.downsample.0.weight"))}
+            bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                sd, f"{tp}.downsample.1")
+        p[f"layer1_{k}"] = bp
+        st[f"layer1_{k}"] = bs
+
+    prev = 1
+    for s, (_, num_modules, num_blocks, channels) in enumerate(
+            extra[1:], start=2):
+        tname = f"backbone.transition{s - 1}"
+        for b in range(len(channels)):
+            if b < prev:
+                key = f"{tname}.{b}.0.weight"   # channel-adapting conv
+                bn = f"{tname}.{b}.1"
+            else:
+                key = f"{tname}.{b}.0.0.weight"  # new-branch downsample
+                bn = f"{tname}.{b}.0.1"
+            if sd.has(key):
+                cp, cs = {"conv": {"kernel": _conv(sd(key))}}, {}
+                bn_p, bn_s = _bn(sd, bn)
+                cp["bn"], cs["bn"] = bn_p, bn_s
+                p[f"transition{s - 1}_{b}"] = cp
+                st[f"transition{s - 1}_{b}"] = cs
+        prev = len(channels)
+
+        for m in range(num_modules):
+            mp, ms = {}, {}
+            base = f"backbone.stage{s}.{m}"
+            for b in range(len(channels)):
+                for k in range(num_blocks[b]):
+                    tp = f"{base}.branches.{b}.{k}"
+                    bp, bs = {}, {}
+                    for c in (1, 2):
+                        bp[f"conv{c}"] = {
+                            "kernel": _conv(sd(f"{tp}.conv{c}.weight"))}
+                        bp[f"bn{c}"], bs[f"bn{c}"] = _bn(sd, f"{tp}.bn{c}")
+                    mp[f"branch{b}_block{k}"] = bp
+                    ms[f"branch{b}_block{k}"] = bs
+            for i in range(len(channels)):
+                for j in range(len(channels)):
+                    fp = f"{base}.fuse_layers.{i}.{j}"
+                    if j > i:
+                        mp[f"fuse{i}_{j}_conv"] = {
+                            "kernel": _conv(sd(f"{fp}.0.weight"))}
+                        bn_p, bn_s = _bn(sd, f"{fp}.1")
+                        mp[f"fuse{i}_{j}_bn"] = bn_p
+                        ms[f"fuse{i}_{j}_bn"] = bn_s
+                    elif j < i:
+                        for t in range(i - j):
+                            cp, cs = _conv_bn(sd, f"{fp}.{t}.0", f"{fp}.{t}.1")
+                            mp[f"fuse{i}_{j}_down{t}"] = cp
+                            ms[f"fuse{i}_{j}_down{t}"] = cs
+            p[f"stage{s}_module{m}"] = mp
+            st[f"stage{s}_module{m}"] = ms
+    return p, st
+
+
+def _swin(sd, depths=(2, 2, 18, 2), out_indices=(1, 2, 3)):
+    """mmdet SwinTransformer state_dict -> flax SwinTransformer params.
+
+    Key layout from ``mmdet/models/backbones/swin.py`` (attn under
+    ``attn.w_msa``, FFN under ``ffn.layers.0.0``/``ffn.layers.1``, output
+    norms ``norm{i}``).  mmcv's ``PatchMerging`` samples the 2x2
+    neighborhood with ``nn.Unfold`` — channel-major (c*4 + position) with
+    positions row-major — while the flax module concatenates
+    position-major ([even/even, odd/even, even/odd, odd/odd] blocks of C);
+    the reduction/norm weights are permuted accordingly.
+    """
+    p = {}
+    p["patch_embed"] = {
+        "kernel": _conv(sd("backbone.patch_embed.projection.weight")),
+        "bias": sd("backbone.patch_embed.projection.bias")}
+    p["patch_norm"] = _norm(sd, "backbone.patch_embed.norm")
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            tp = f"backbone.stages.{s}.blocks.{b}"
+            p[f"stage{s}_block{b}"] = {
+                "norm1": _norm(sd, f"{tp}.norm1"),
+                "attn": {
+                    "qkv": _linear(sd, f"{tp}.attn.w_msa.qkv"),
+                    "proj": _linear(sd, f"{tp}.attn.w_msa.proj"),
+                    "relative_position_bias_table": sd(
+                        f"{tp}.attn.w_msa.relative_position_bias_table"),
+                },
+                "norm2": _norm(sd, f"{tp}.norm2"),
+                "fc1": _linear(sd, f"{tp}.ffn.layers.0.0"),
+                "fc2": _linear(sd, f"{tp}.ffn.layers.1"),
+            }
+        if s < len(depths) - 1:
+            tp = f"backbone.stages.{s}.downsample"
+            red_w = sd(f"{tp}.reduction.weight")          # (2C, 4C)
+            cin = red_w.shape[1] // 4
+            # my position p in [ee, oe, eo, oo] -> unfold position q in
+            # row-major [(0,0),(0,1),(1,0),(1,1)]
+            q_of_p = (0, 2, 1, 3)
+            perm = np.array([c * 4 + q_of_p[pp]
+                             for pp in range(4) for c in range(cin)])
+            nw = sd(f"{tp}.norm.weight")[perm]
+            nb = sd(f"{tp}.norm.bias")[perm]
+            p[f"merge{s}"] = {
+                "reduction": {"kernel": _t(red_w[:, perm])},
+                "norm": {"scale": nw, "bias": nb}}
+    for i in out_indices:
+        p[f"out_norm{i}"] = _norm(sd, f"backbone.norm{i}")
+    return p
+
+
 def _neck(sd, num_ins=3, num_outs=4):
     p = {}
     for i in range(num_ins):
@@ -280,6 +414,180 @@ def convert_videopose_state_dict(state_dict: dict, num_frames: int = 3,
     unused = [k for k in sd.unused()
               if not k.endswith("num_batches_tracked")
               and ".mask" not in k and "prior" not in k]
+    if strict and unused:
+        raise KeyError(f"unconverted reference params: {unused[:20]}")
+    variables["_unused_reference_keys"] = unused
+    return variables
+
+
+def _deep_merge(base: dict, upd: dict) -> dict:
+    out = dict(base)
+    for k, v in upd.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def convert_petr_state_dict(state_dict: dict, init_params: dict,
+                            num_decoder_layers: int = 3,
+                            num_refine_layers: int = 2,
+                            num_encoder_layers: int = 6,
+                            num_heads: int = 8,
+                            backbone_depth: int = 50,
+                            backbone_type: str = "resnet",
+                            swin_depths=(2, 2, 18, 2),
+                            strict: bool = False):
+    """Reference single-frame PETR checkpoint -> VideoPoseDetector(T=1).
+
+    Layout from ``opera/models/dense_heads/petr_head.py:151-194`` and
+    ``PETRTransformer`` (``opera/models/utils/transformer.py:4235``): same
+    tree as the video model minus sigma branches / flows / aux-frame
+    branches, plus an active ``hm_encoder``.  ``init_params`` (a freshly
+    initialized param tree) supplies the subtrees PETR does not have
+    (sigma branches + flows, unused under the L1 recipe).
+    """
+    sd = _StateDict(state_dict)
+    if backbone_type == "swin":
+        backbone_p, backbone_s = _swin(sd, depths=swin_depths), {}
+    else:
+        backbone_p, backbone_s = _resnet(sd, backbone_depth)
+    neck_p = _neck(sd)
+
+    h = {}
+    tfm = "bbox_head.transformer"
+    h["level_embeds"] = sd(f"{tfm}.level_embeds")
+    h["enc_output"] = _linear(sd, f"{tfm}.enc_output")
+    h["enc_output_norm"] = _norm(sd, f"{tfm}.enc_output_norm")
+    h["query_embedding"] = sd("bbox_head.query_embedding.weight")
+    h["refine_query_embedding"] = sd(
+        f"{tfm}.refine_query_embedding.weight")
+
+    def enc_layer(lp):
+        return {
+            "attn": _deform_attn(sd, f"{lp}.attentions.0",
+                                 multi_frame=False),
+            "norm1": _norm(sd, f"{lp}.norms.0"),
+            "ffn": _ffn(sd, f"{lp}.ffns.0"),
+            "norm2": _norm(sd, f"{lp}.norms.1"),
+        }
+
+    for i in range(num_encoder_layers):
+        h[f"encoder_layer{i}"] = enc_layer(f"{tfm}.encoder.layers.{i}")
+    h["hm_encoder_layer"] = enc_layer(f"{tfm}.hm_encoder.layers.0")
+
+    for i in range(num_decoder_layers):
+        lp = f"{tfm}.decoder.layers.{i}"
+        h[f"dec_self_attn{i}"] = _mha(sd, f"{lp}.attentions.0", num_heads)
+        # single-frame MultiScaleDeformablePoseAttention
+        # (``transformer.py:252``): plain offset/weight heads
+        h[f"dec_cross_attn{i}"] = _deform_attn(
+            sd, f"{lp}.attentions.1", multi_frame=False)
+        h[f"dec_norm1_{i}"] = _norm(sd, f"{lp}.norms.0")
+        h[f"dec_norm2_{i}"] = _norm(sd, f"{lp}.norms.1")
+        h[f"dec_norm3_{i}"] = _norm(sd, f"{lp}.norms.2")
+        h[f"dec_ffn{i}"] = _ffn(sd, f"{lp}.ffns.0")
+
+    mlp_idx = (0, 2, 4, 6)
+    for i in range(num_decoder_layers + 1):
+        h[f"cls_branch{i}"] = _linear(sd, f"bbox_head.cls_branches.{i}")
+        h[f"kpt_branch{i}"] = _mlp(sd, f"bbox_head.kpt_branches.{i}",
+                                   mlp_idx)
+
+    for i in range(num_refine_layers):
+        lp = f"{tfm}.refine_decoder.layers.{i}"
+        h[f"ref_self_attn{i}"] = _mha(sd, f"{lp}.attentions.0", num_heads)
+        h[f"ref_cross_attn{i}"] = _deform_attn(
+            sd, f"{lp}.attentions.1", multi_frame=False)
+        h[f"ref_norm1_{i}"] = _norm(sd, f"{lp}.norms.0")
+        h[f"ref_norm2_{i}"] = _norm(sd, f"{lp}.norms.1")
+        h[f"ref_norm3_{i}"] = _norm(sd, f"{lp}.norms.2")
+        h[f"ref_ffn{i}"] = _ffn(sd, f"{lp}.ffns.0")
+        h[f"refine_kpt_branch_f0_l{i}"] = _mlp(
+            sd, f"bbox_head.refine_kpt_branches.{i}", (0, 2, 4))
+
+    h["fc_hm"] = _linear(sd, "bbox_head.fc_hm")
+
+    params = _deep_merge(
+        init_params,
+        {"backbone": backbone_p, "neck": neck_p, "head": h})
+    variables = {"params": params,
+                 "batch_stats": {"backbone": backbone_s}}
+    unused = [k for k in sd.unused()
+              if not k.endswith("num_batches_tracked")]
+    if strict and unused:
+        raise KeyError(f"unconverted reference params: {unused[:20]}")
+    variables["_unused_reference_keys"] = unused
+    return variables
+
+
+def convert_soit_state_dict(state_dict: dict,
+                            num_decoder_layers: int = 6,
+                            num_encoder_layers: int = 6,
+                            num_heads: int = 8,
+                            backbone_depth: int = 50,
+                            strict: bool = False):
+    """Reference SOIT checkpoint -> SOITDetector params.
+
+    Layout from ``opera/models/dense_heads/soit_head.py:70-117`` (cls/reg/
+    seg branches, parameter-free dynamic encoder) + ``SOITTransformer``
+    (``opera/models/utils/transformer.py:24``: encoder, 1-layer
+    seg_encoder, mask_trans(+norm)) on mmdet's two-stage
+    DeformableDetrTransformer (pos_trans/pos_trans_norm, enc_output).
+    """
+    sd = _StateDict(state_dict)
+    backbone_p, backbone_s = _resnet(sd, backbone_depth)
+    neck_p = _neck(sd)
+
+    h = {}
+    tfm = "bbox_head.transformer"
+    h["level_embeds"] = sd(f"{tfm}.level_embeds")
+    h["enc_output"] = _linear(sd, f"{tfm}.enc_output")
+    h["enc_output_norm"] = _norm(sd, f"{tfm}.enc_output_norm")
+    h["pos_trans"] = _linear(sd, f"{tfm}.pos_trans")
+    h["pos_trans_norm"] = _norm(sd, f"{tfm}.pos_trans_norm")
+    h["mask_trans"] = _linear(sd, f"{tfm}.mask_trans")
+    h["mask_trans_norm"] = _norm(sd, f"{tfm}.mask_trans_norm")
+
+    def enc_layer(lp):
+        return {
+            "attn": _deform_attn(sd, f"{lp}.attentions.0",
+                                 multi_frame=False),
+            "norm1": _norm(sd, f"{lp}.norms.0"),
+            "ffn": _ffn(sd, f"{lp}.ffns.0"),
+            "norm2": _norm(sd, f"{lp}.norms.1"),
+        }
+
+    for i in range(num_encoder_layers):
+        h[f"encoder_layer{i}"] = enc_layer(f"{tfm}.encoder.layers.{i}")
+    h["seg_encoder_layer"] = enc_layer(f"{tfm}.seg_encoder.layers.0")
+
+    for i in range(num_decoder_layers):
+        lp = f"{tfm}.decoder.layers.{i}"
+        h[f"dec_self_attn{i}"] = _mha(sd, f"{lp}.attentions.0", num_heads)
+        h[f"dec_cross_attn{i}"] = _deform_attn(
+            sd, f"{lp}.attentions.1", multi_frame=False)
+        h[f"dec_norm1_{i}"] = _norm(sd, f"{lp}.norms.0")
+        h[f"dec_norm2_{i}"] = _norm(sd, f"{lp}.norms.1")
+        h[f"dec_norm3_{i}"] = _norm(sd, f"{lp}.norms.2")
+        h[f"dec_ffn{i}"] = _ffn(sd, f"{lp}.ffns.0")
+
+    idx = (0, 2, 4)
+    for i in range(num_decoder_layers + 1):
+        h[f"cls_branch{i}"] = _linear(sd, f"bbox_head.cls_branches.{i}")
+        h[f"reg_branch{i}"] = _mlp(sd, f"bbox_head.reg_branches.{i}", idx)
+        if i < num_decoder_layers:
+            h[f"seg_branch{i}"] = _mlp(sd, f"bbox_head.seg_branches.{i}",
+                                       idx)
+
+    params = dict(h)
+    params["backbone"] = backbone_p
+    params["neck"] = neck_p
+    variables = {"params": params,
+                 "batch_stats": {"backbone": backbone_s}}
+    unused = [k for k in sd.unused()
+              if not k.endswith("num_batches_tracked")]
     if strict and unused:
         raise KeyError(f"unconverted reference params: {unused[:20]}")
     variables["_unused_reference_keys"] = unused

@@ -15,3 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# jax 0.9 CPU convs/matmuls default to a reduced-precision path (~6e-3
+# rel error vs f64 numpy; torch is exact) — force full f32 so parity
+# tests compare math, not fastmath (TPU bench paths are unaffected)
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -97,4 +97,12 @@ def test_inspose_config_builds():
 def test_unknown_backbone_raises():
     with pytest.raises(KeyError):
         build_detector(dict(type="opera.PETR",
-                            backbone=dict(type="mmdet.HRNet")))
+                            backbone=dict(type="mmdet.RegNet")))
+
+
+def test_petr_hrnet_config():
+    cfg = _cfg("petr/petr_hrnetw48_16x2_100e_coco.py")
+    built = build_detector(cfg.model)
+    _assert_same_module(built, zoo.petr_r50_coco(
+        backbone_type="hrnet", hrnet_width=48,
+        backbone_out_indices=(1, 2, 3)))

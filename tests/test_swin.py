@@ -59,3 +59,49 @@ def test_swin_attention_matches_torch_window_msa():
     want = out @ np.asarray(p["proj"]["kernel"]) + np.asarray(
         p["proj"]["bias"])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_swin_backbone_parity_with_mmdet():
+    """Converted mmdet SwinTransformer weights reproduce the reference
+    backbone's stage outputs (``mmdet/models/backbones/swin.py``;
+    shifted windows, patch merging unfold order, output norms)."""
+    torch = pytest.importorskip("torch")
+    import sys
+    from reference_oracle import install_stubs, REFERENCE_ROOT
+    install_stubs()
+    for p in (f"{REFERENCE_ROOT}/third_party/mmdetection", REFERENCE_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from mmdet.models.backbones.swin import SwinTransformer as RefSwin
+    from pavenet_tpu.utils.weight_convert import _swin, _StateDict
+
+    torch.manual_seed(0)
+    depths, heads = (2, 2, 2, 2), (2, 4, 8, 16)
+    ref = RefSwin(embed_dims=32, depths=depths, num_heads=heads,
+                  window_size=4, out_indices=(1, 2, 3),
+                  drop_rate=0.0, attn_drop_rate=0.0, drop_path_rate=0.0)
+    ref.init_weights()
+    ref.eval()
+
+    rng = np.random.RandomState(0)
+    # non-divisible size to exercise padding; small enough that stage-3
+    # maps are below the window size (mmdet still shifts there)
+    x = rng.randn(1, 3, 60, 92).astype(np.float32)
+    with torch.no_grad():
+        outs_t = ref(torch.from_numpy(x))
+
+    sd = _StateDict({f"backbone.{k}": v.numpy()
+                     for k, v in ref.state_dict().items()})
+    params = _swin(sd, depths=depths, out_indices=(1, 2, 3))
+    assert not [k for k in sd.unused()
+                if "relative_position_index" not in k], sd.unused()[:8]
+
+    mine = SwinTransformer(embed_dims=32, depths=depths, num_heads=heads,
+                           window_size=4, out_indices=(1, 2, 3))
+    outs = jax.jit(lambda p, x: mine.apply(p, x))(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    for i, (got, want) in enumerate(zip(outs, outs_t)):
+        want = want.numpy().transpose(0, 2, 3, 1)
+        assert got.shape == want.shape, (i, got.shape, want.shape)
+        diff = np.abs(np.asarray(got) - want).max()
+        assert diff < 2e-4, (i, diff)

@@ -23,6 +23,9 @@ def parse_args():
     p.add_argument("config")
     p.add_argument("checkpoint")
     p.add_argument("--eval", default="keypoints")
+    p.add_argument("--flip-test", action="store_true",
+                   help="test-time horizontal-flip merge (reference "
+                        "aug_test, videoposev1.py:224)")
     p.add_argument("--out", default=None,
                    help="dump detections json")
     p.add_argument("--cfg-options", nargs="+", default=[])
@@ -76,7 +79,8 @@ def main():
         os.path.abspath(args.checkpoint), state.params, state.batch_stats)
 
     detections = gather_detections(
-        run_inference(model, variables, loader, logger=logger))
+        run_inference(model, variables, loader, logger=logger,
+                      flip_test=args.flip_test))
     if jax.process_index() != 0:
         return
     if args.out:

@@ -76,7 +76,7 @@ def main():
     from pavenet_tpu.models.builder import build_detector
     from pavenet_tpu.apis.train import (
         build_optimizer, create_train_state, make_train_step,
-        step_lr_schedule)
+        build_lr_schedule)
     from pavenet_tpu.parallel.mesh import (
         make_mesh, put_batch, maybe_init_distributed)
     from pavenet_tpu.utils.checkpoint import (
@@ -124,9 +124,9 @@ def main():
     accum = cfg.get("optimizer_config", {}).get("cumulative_iters", 8)
     clip = cfg.get("optimizer_config", {}).get("grad_clip", {}).get(
         "max_norm", 0.1)
-    lr_steps = cfg.get("lr_config", {}).get("step", [10])
-    schedule = step_lr_schedule(opt_cfg.get("lr", 2e-5), steps_per_epoch,
-                                lr_steps)
+    schedule = build_lr_schedule(
+        cfg.get("lr_config", {}) or {}, opt_cfg.get("lr", 2e-5),
+        steps_per_epoch, max_epochs=max_epochs)
 
     ema_decay = 0.0
     for hook in cfg.get("custom_hooks", []):
@@ -149,7 +149,9 @@ def main():
         state = restore_checkpoint(resume, state)
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
 
+    from pavenet_tpu.utils import MetricSinks
     buf = LogBuffer()
+    sinks = MetricSinks(work_dir) if jax.process_index() == 0 else None
     total = 0
     log_interval = cfg.get("log_config", {}).get("interval", 40)
     for epoch in range(start_epoch, max_epochs):
@@ -166,6 +168,8 @@ def main():
                 vals = {k: float(v) for k, v in losses.items()}
                 buf.update(vals)
                 buf.average(1)
+                if sinks is not None:
+                    sinks.log(total, vals)
                 msg = " ".join(f"{k}: {v:.4f}"
                                for k, v in sorted(buf.output.items()))
                 logger.info(f"epoch {epoch + 1}/{max_epochs} "
