@@ -59,6 +59,65 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
     return detections
 
 
+def run_det_inference(model, variables, loader, score_thr: float = 0.05,
+                      mask_thr: float = 0.5, logger=None) -> List[dict]:
+    """Detection / instance-segmentation inference (SOIT, DK-DETR):
+    returns COCO-style dicts with ``bbox`` (xywh) and, when the model
+    emits masks, ``segmentation`` as a binary mask resized to the
+    original image (reference ``soit_head.py:_get_bboxes_single`` resize
+    + threshold semantics)."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        cv2 = None
+    infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    detections: List[dict] = []
+    for batch in loader:
+        keys = ("img", "img_shape", "scale_factor")
+        feed = {k: batch[k] for k in keys if k in batch}
+        if "text_feats" in batch:
+            feed["text_feats"] = batch["text_feats"]
+        out = jax.tree.map(np.asarray, infer(variables, feed))
+        row_valid = batch.get("_row_valid",
+                              np.ones(len(batch["img"]), bool))
+        for b in range(len(batch["img"])):
+            if not row_valid[b]:
+                continue
+            scores = out["det_bboxes"][b, :, 4]
+            boxes = out["det_bboxes"][b, :, :4]
+            labels = out["det_labels"][b]
+            masks = out.get("det_masks")
+            sf = np.asarray(batch["scale_factor"][b])
+            ih, iw = np.asarray(batch["img_shape"][b])
+            ori_w = int(round(iw / sf[0]))
+            ori_h = int(round(ih / sf[1]))
+            for m in np.where(scores >= score_thr)[0]:
+                x1, y1, x2, y2 = boxes[m]
+                det = dict(
+                    image_id=int(batch["image_id"][b]),
+                    category_id=int(labels[m]) + 1,
+                    bbox=[float(x1), float(y1),
+                          float(x2 - x1), float(y2 - y1)],
+                    score=float(scores[m]))
+                if masks is not None and cv2 is not None:
+                    # masks are at input/2 resolution over the padded
+                    # bucket; crop the valid region, resize to original
+                    mk = masks[b, m]
+                    h2 = int(np.ceil(ih / (batch["img"].shape[-3] /
+                                           mk.shape[0])))
+                    w2 = int(np.ceil(iw / (batch["img"].shape[-2] /
+                                           mk.shape[1])))
+                    mk = mk[:h2, :w2]
+                    mk = cv2.resize(mk.astype(np.float32),
+                                    (ori_w, ori_h),
+                                    interpolation=cv2.INTER_LINEAR)
+                    det["segmentation"] = mk >= mask_thr
+                detections.append(det)
+    if logger is not None:
+        logger.info(f"det inference: {len(detections)} detections")
+    return detections
+
+
 def gather_detections(detections: List[dict]) -> List[dict]:
     """All-gather detection dicts across processes (the reference's
     ``collect_results_gpu``, ``opera/apis/test.py:247`` — rank tensors

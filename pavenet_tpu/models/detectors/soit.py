@@ -330,9 +330,17 @@ class SOITDetector(nn.Module):
         out_mem = self.enc_output_norm(self.enc_output(out_mem))
         enc_cls = self.cls_branches[-1](out_mem)
         enc_delta = self.reg_branches[-1](out_mem)
-        # proposal wh starts at logit 0 (reference sets bias[2:]=0 two-stage)
+        # proposal wh = 0.05 * 2^lvl in sigmoid space (mmdet
+        # ``gen_encoder_output_proposals``), logit-masked like the centers
+        wh_rows = []
+        for lvl, (hh, ww) in enumerate(shapes):
+            p = 0.05 * (2.0 ** lvl)
+            wh_rows.append(jnp.full((B, hh * ww, 2),
+                                    math.log(p / (1 - p)), jnp.float32))
+        wh_logit = jnp.concatenate(wh_rows, 1)
+        wh_logit = jnp.where(prop_valid[..., None], wh_logit, 1e6)
         enc_coord_unact = enc_delta + jnp.concatenate(
-            [prop_logit, jnp.zeros_like(prop_logit)], -1)
+            [prop_logit, wh_logit], -1)
         # mmdet's two-stage topk scores on the FIRST class logit
         # (``mmdet/models/utils/transformer.py`` DeformableDetrTransformer:
         # ``topk(enc_outputs_class[..., 0])``), not the max
@@ -342,8 +350,11 @@ class SOITDetector(nn.Module):
             enc_coord_unact, topk_idx[..., None], axis=1))
         ref = jax.nn.sigmoid(topk_coords)                  # (B, Q, 4) cxcywh
 
-        # query content/pos from proposal positional embedding
-        def proposal_pos_embed(coords, num_feats=128, temperature=10000):
+        # query content/pos from proposal positional embedding; mmdet
+        # hardcodes num_pos_feats=128 (valid only at embed 256: the
+        # pos_trans input is 4*feats = 2*embed) — scale with embed_dims
+        def proposal_pos_embed(coords, num_feats=self.embed_dims // 2,
+                               temperature=10000):
             scale = 2 * math.pi
             dim_t = jnp.arange(num_feats, dtype=jnp.float32)
             dim_t = temperature ** (2 * (dim_t // 2) / num_feats)

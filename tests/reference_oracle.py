@@ -132,6 +132,7 @@ def patch_cpu_fallbacks():
     modules = [ref_msda]
     for name in ("opera.models.utils.transformer",
                  "mmdet.models.utils.transformer",
+                 "opera.models.dense_heads.soit_head",
                  "mmcv.ops"):
         if name in sys.modules:
             modules.append(sys.modules[name])

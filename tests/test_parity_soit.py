@@ -1,0 +1,199 @@
+"""SOIT activation parity vs the reference torch model
+(``opera/models/dense_heads/soit_head.py`` + ``SOITTransformer``),
+weight-converted: decoder cls/box/dynamic-params outputs, encoder (RPN)
+outputs, the seg-encoder mask feature, and the per-instance dynamic
+deformable mask decoding."""
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from reference_oracle import install_stubs, REFERENCE_ROOT
+
+EMBED, NQ, NC = 64, 12, 5
+ENC_LAYERS, DEC_LAYERS = 2, 2
+H, W = 128, 192
+B = 1
+
+
+def build_reference():
+    install_stubs()
+    for p in (f"{REFERENCE_ROOT}/third_party/mmdetection", REFERENCE_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from opera.models import build_model
+    from reference_oracle import patch_cpu_fallbacks
+    patch_cpu_fallbacks()
+
+    enc_layer = dict(
+        type='mmcv.BaseTransformerLayer',
+        attn_cfgs=dict(type='mmcv.MultiScaleDeformableAttention',
+                       embed_dims=EMBED),
+        ffn_cfgs=dict(type='FFN', embed_dims=EMBED,
+                      feedforward_channels=128, ffn_drop=0.0),
+        feedforward_channels=128, ffn_dropout=0.0,
+        operation_order=('self_attn', 'norm', 'ffn', 'norm'))
+    seg_layer = dict(enc_layer)
+    seg_layer["attn_cfgs"] = dict(
+        type='mmcv.MultiScaleDeformableAttention', embed_dims=EMBED,
+        num_heads=1, num_levels=1)
+    dec_layer = dict(
+        type='mmcv.DetrTransformerDecoderLayer',
+        attn_cfgs=[
+            dict(type='mmcv.MultiheadAttention', embed_dims=EMBED,
+                 num_heads=8, dropout=0.0),
+            dict(type='mmcv.MultiScaleDeformableAttention',
+                 embed_dims=EMBED)],
+        ffn_cfgs=dict(type='FFN', embed_dims=EMBED,
+                      feedforward_channels=128, ffn_drop=0.0),
+        feedforward_channels=128, ffn_dropout=0.0,
+        operation_order=('self_attn', 'norm', 'cross_attn', 'norm',
+                         'ffn', 'norm'))
+    cfg = dict(
+        type='SOIT',
+        backbone=dict(
+            type='mmdet.ResNet', depth=18, num_stages=4,
+            out_indices=(1, 2, 3), frozen_stages=1,
+            norm_cfg=dict(type='BN', requires_grad=False), norm_eval=True,
+            style='pytorch'),
+        neck=dict(
+            type='mmdet.ChannelMapper', in_channels=[128, 256, 512],
+            kernel_size=1, out_channels=EMBED, act_cfg=None,
+            norm_cfg=dict(type='GN', num_groups=32), num_outs=4),
+        bbox_head=dict(
+            type='opera.SOITHead',
+            num_query=NQ, num_classes=NC, in_channels=512,
+            sync_cls_avg_factor=True,
+            dynamic_params_dims=441, dynamic_encoder_heads=4,
+            mask_positional_encoding_cfg=dict(
+                type='opera.RelSinePositionalEncoding', num_feats=4,
+                normalize=True),
+            dice_mask_loss_weight=8.0, bce_mask_loss_weight=2.0,
+            with_box_refine=True, as_two_stage=True,
+            transformer=dict(
+                type='opera.SOITTransformer', mask_channels=8,
+                two_stage_num_proposals=NQ,
+                encoder=dict(type='mmcv.DetrTransformerEncoder',
+                             num_layers=ENC_LAYERS,
+                             transformerlayers=enc_layer),
+                seg_encoder=dict(type='mmcv.DetrTransformerEncoder',
+                                 num_layers=1, transformerlayers=seg_layer),
+                decoder=dict(
+                    type='mmcv.DeformableDetrTransformerDecoder',
+                    num_layers=DEC_LAYERS, return_intermediate=True,
+                    transformerlayers=dec_layer)),
+            positional_encoding=dict(
+                type='mmcv.SinePositionalEncoding', num_feats=EMBED // 2,
+                normalize=True, offset=-0.5),
+            loss_cls=dict(type='mmdet.FocalLoss', use_sigmoid=True,
+                          gamma=2.0, alpha=0.25, loss_weight=2.0),
+            loss_bbox=dict(type='mmdet.L1Loss', loss_weight=5.0),
+            loss_iou=dict(type='mmdet.GIoULoss', loss_weight=2.0)),
+        test_cfg=dict(max_per_img=5))
+    model = build_model(cfg)
+    model.init_weights()
+    model.eval()
+    # mmdet's get_proposal_pos_embed hardcodes num_pos_feats=128, which
+    # only type-checks at embed 256 (pos_trans input = 4*feats = 2*embed);
+    # rebind for the reduced EMBED
+    import functools
+    tr = model.bbox_head.transformer
+    tr.get_proposal_pos_embed = functools.partial(
+        type(tr).get_proposal_pos_embed.__get__(tr),
+        num_pos_feats=EMBED // 2)
+    return model
+
+
+@pytest.fixture(scope="module")
+def soit_pair():
+    torch.manual_seed(0)
+    ref = build_reference()
+    state_dict = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    from pavenet_tpu.models.detectors.soit import SOITDetector
+    from pavenet_tpu.utils.weight_convert import convert_soit_state_dict
+
+    mine = SOITDetector(
+        num_classes=NC, num_query=NQ, max_gt=4, backbone_depth=18,
+        embed_dims=EMBED, num_encoder_layers=ENC_LAYERS,
+        num_decoder_layers=DEC_LAYERS, feedforward_channels=128,
+        max_per_img=5)
+    variables = convert_soit_state_dict(
+        state_dict, num_decoder_layers=DEC_LAYERS,
+        num_encoder_layers=ENC_LAYERS, backbone_depth=18)
+    assert not variables.pop("_unused_reference_keys"), "unconverted keys"
+    return ref, mine, variables
+
+
+def _close(name, got, want, atol=1e-3):
+    got = np.asarray(got)
+    want = np.asarray(want.detach().numpy() if hasattr(want, "detach")
+                      else want)
+    assert got.shape == want.shape, (name, got.shape, want.shape)
+    diff = np.abs(got - want).max()
+    assert diff < atol, (f"{name}: max diff {diff}")
+
+
+def test_soit_forward_and_mask_parity(soit_pair):
+    ref, mine, variables = soit_pair
+    rng = np.random.RandomState(0)
+    img = rng.randn(B, 3, H, W).astype(np.float32)
+    img_h, img_w = H - 16, W - 11
+    img_metas = [dict(batch_input_shape=(H, W),
+                      img_shape=(img_h, img_w, 3))] * B
+
+    with torch.no_grad():
+        feats = ref.extract_feat(torch.from_numpy(img))
+        (cls_t, coord_t, enc_cls_t, enc_coord_t, mask_proto,
+         dyn_t) = ref.bbox_head.forward(feats, img_metas)
+    (seg_memory_t, _seg_pos, seg_mask_t, seg_shapes_t, seg_refs_t,
+     lvl_start_t) = mask_proto[:6] if len(mask_proto) >= 6 else (
+        *mask_proto, None)
+
+    out = mine.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                     jnp.asarray([[img_h, img_w]] * B, jnp.int32),
+                     method="forward_outputs")
+
+    _close("enc_cls", out["enc_cls_scores"], enc_cls_t, atol=5e-3)
+    _close("enc_box", out["enc_bbox_preds"], enc_coord_t)
+    _close("cls", out["all_cls_scores"], cls_t, atol=5e-3)
+    _close("box", out["all_bbox_preds"], coord_t)
+    _close("dyn", out["all_dyn_params"], dyn_t, atol=5e-3)
+    # seg-encoder mask feature: reference keeps (n0, B, 8)
+    seg_m = seg_memory_t.permute(1, 0, 2)
+    _close("mask_feat", out["mask_feat"], seg_m)
+
+    # ---- dynamic mask decoding on 3 instances --------------------------
+    dyn_last = dyn_t[-1][0]                                 # (Q, 441)
+    coords_last = coord_t[-1][0]                            # (Q, 4)
+    take = [0, 3, 7]
+    dyn_sel = dyn_last[take]
+    cxcy = coords_last[take, :2]
+    img_mask = ref.bbox_head.p3_mask
+    seg_pos = []
+    for i in range(len(take)):
+        pe = ref.bbox_head.mask_positional_encoding(img_mask, cxcy[i])
+        seg_pos.append(pe.flatten(2).transpose(1, 2).permute(1, 0, 2))
+    seg_pos = torch.cat(seg_pos, dim=1)
+    with torch.no_grad():
+        mask_pred_t = ref.bbox_head.dynamic_encoder.forward_test(
+            dyn_sel, seg_memory_t.repeat(1, len(take), 1), None, None,
+            query_pos=seg_pos,
+            key_padding_mask=seg_mask_t.repeat(len(take), 1),
+            reference_points=seg_refs_t.repeat(len(take), 1, 1, 1),
+            spatial_shapes=seg_shapes_t,
+            level_start_index=lvl_start_t)
+    h0, w0 = out["spatial_shapes"][0]
+    mask_pred_t = mask_pred_t.squeeze(-1).transpose(0, 1).reshape(
+        len(take), h0, w0)
+
+    masks_mine = mine.apply(
+        variables, out,
+        jnp.asarray(np.asarray(dyn_last[take].numpy())[None]),
+        jnp.asarray(np.asarray(cxcy.numpy())[None]),
+        method="predict_masks")[0]
+    _close("masks", masks_mine, mask_pred_t, atol=5e-3)
