@@ -81,9 +81,27 @@ def _prep_taps(spatial_shapes, locations, weights, tile_base):
     return (jnp.stack(idx_all, 2), jnp.stack(w_all, 2))
 
 
-def _msda_kernel(idx_ref, w_ref, val_ref, out_ref):
+STATIC_PROBES = 4  # encoder tap spans are almost always <= 4 tiles
+
+
+def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
     """Grid (BH, NC//CB, L); levels fastest so each chunk-block's output
-    accumulates over levels while resident."""
+    accumulates over levels while resident.
+
+    Per-chunk tile windows come precomputed in SMEM (``tmin_ref``:
+    (1, L, NCB, CB) min tile per chunk; ``tmax_ref``: same for the max
+    tile — the per-*block* overflow test reduces their difference
+    in-kernel once per grid step).  Probes are UNCLAMPED over a value table padded
+    with STATIC_PROBES-1 zero tiles, so each probe tile is distinct and
+    the lane-range check alone is exact — no per-probe scalar guard.
+
+    The rare span > STATIC_PROBES tail is hoisted to ONE ``pl.when`` per
+    grid step: measured on v5e, a per-chunk ``lax.cond``+zero-trip
+    ``fori_loop`` cost ~55ms of a 152ms encoder-scale call even when the
+    tail never ran; the hoisted form brings the call to 96ms (1.6x) with
+    bit-identical outputs.
+    """
+    cblk = pl.program_id(1)
     l = pl.program_id(2)
     D = val_ref.shape[2]
     CB = idx_ref.shape[3]
@@ -95,44 +113,22 @@ def _msda_kernel(idx_ref, w_ref, val_ref, out_ref):
     rows = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 0)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 1)
     gt = (lanes // GROUP == rows).astype(jnp.float32)
-    T_total = val_ref.shape[1]
-    STATIC_PROBES = 4  # encoder tap spans are almost always <= 4 tiles
 
-    # fully static unroll: Mosaic's fori_loop costs ~350 cycles/iteration,
-    # which dominated a ~10-op chunk body; static probes + a usually
-    # zero-trip dynamic tail keep exactness for adversarial spans.
     for c in range(CB):
         taps = idx_ref[0, 0, 0, c]                  # (1, LANE) int32
         w = w_ref[0, 0, 0, c]                       # (1, LANE) f32
         taps_b = jnp.broadcast_to(taps, (D, LANE))
-        tmin = jnp.min(taps) // LANE
-        tmax = jnp.max(taps) // LANE
+        tmin = tmin_ref[0, l, cblk, c]
 
         acc = jnp.zeros((D, LANE), jnp.float32)
         for k in range(STATIC_PROBES):
-            t = jnp.minimum(tmin + k, T_total - 1)
+            t = tmin + k
             tile = val_ref[0, t]                    # (D, LANE)
-            lane = taps_b - t * LANE
-            hit = (lane >= 0) & (lane < LANE) & (tmin + k <= tmax)
-            g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
-                                    axis=1)
-            acc = acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
-
-        def tile_body(t, a):
-            tile = val_ref[0, t]
             lane = taps_b - t * LANE
             hit = (lane >= 0) & (lane < LANE)
             g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
                                     axis=1)
-            return a + jnp.where(hit, g, 0.0).astype(jnp.float32)
-
-        # rare (span > STATIC_PROBES) tail behind a cond: the zero-trip
-        # fori alone still costs ~full loop setup on the scalar core
-        acc = jax.lax.cond(
-            tmax - tmin >= STATIC_PROBES,
-            lambda a: jax.lax.fori_loop(
-                tmin + STATIC_PROBES, tmax + 1, tile_body, a),
-            lambda a: a, acc)
+            acc = acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
         acc = acc * w
         # 16-lane group sums + implicit transpose in one exact (6-pass)
         # MXU contraction: (G, LANE) one-hot x (D, LANE) -> (G, D)
@@ -141,6 +137,39 @@ def _msda_kernel(idx_ref, w_ref, val_ref, out_ref):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         out_ref[0, c * QPC:(c + 1) * QPC, :] += part
+
+    # exact tail for adversarial spans, one branch per grid step
+    block_overflow = jnp.zeros((), jnp.int32)
+    for c in range(CB):
+        block_overflow = jnp.maximum(
+            block_overflow,
+            tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
+
+    @pl.when(block_overflow >= STATIC_PROBES)
+    def _():
+        for c in range(CB):
+            taps = idx_ref[0, 0, 0, c]
+            w = w_ref[0, 0, 0, c]
+            taps_b = jnp.broadcast_to(taps, (D, LANE))
+            tmin = tmin_ref[0, l, cblk, c]
+            tmax = tmax_ref[0, l, cblk, c]
+
+            def tile_body(t, a):
+                tile = val_ref[0, t]
+                lane = taps_b - t * LANE
+                hit = (lane >= 0) & (lane < LANE)
+                g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
+                                        axis=1)
+                return a + jnp.where(hit, g, 0.0).astype(jnp.float32)
+
+            extra = jax.lax.fori_loop(
+                tmin + STATIC_PROBES, tmax + 1, tile_body,
+                jnp.zeros((D, LANE), jnp.float32))
+            part = jax.lax.dot_general(
+                gt, extra * w, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -201,6 +230,14 @@ def _pad_queries(sampling_locations, attention_weights):
     return sampling_locations, attention_weights, Qpad
 
 
+def _tile_windows(idx):
+    """Per-chunk [min, max] tile windows, computed in XLA and fed to the
+    kernels through SMEM (replaces per-chunk in-kernel reductions)."""
+    tmin = (jnp.min(idx, axis=(-2, -1)) // LANE).astype(jnp.int32)
+    tmax = (jnp.max(idx, axis=(-2, -1)) // LANE).astype(jnp.int32)
+    return tmin, tmax  # (BH, L, NCB, CB) each
+
+
 def _forward(value, spatial_shapes, sampling_locations, attention_weights):
     B, N, H, D = value.shape
     Q = sampling_locations.shape[1]
@@ -211,6 +248,9 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
 
     tile_base, T_total = _tile_bases(spatial_shapes)
     val = _value_tables(value, spatial_shapes, T_total)
+    # zero tiles so the static probes never need clamping
+    val = jnp.pad(val, ((0, 0), (0, STATIC_PROBES - 1), (0, 0), (0, 0)))
+    Tp = T_total + STATIC_PROBES - 1
 
     assert CB % PACK == 0
     sampling_locations, attention_weights, Qpad = _pad_queries(
@@ -220,18 +260,25 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
                         attention_weights, tile_base)
     idx = idx.reshape(B * H, L, NC // CB, CB, 1, LANE)
     w = w.reshape(B * H, L, NC // CB, CB, 1, LANE)
+    tmin, tmax = _tile_windows(idx)
 
     out = pl.pallas_call(
         _msda_kernel,
         grid=(B * H, NC // CB, L),
         in_specs=[
+            pl.BlockSpec((1, L, NC // CB, CB),
+                         lambda bh, c, l: (bh, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, NC // CB, CB),
+                         lambda bh, c, l: (bh, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, CB, 1, LANE),
                          lambda bh, c, l: (bh, l, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, CB, 1, LANE),
                          lambda bh, c, l: (bh, l, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T_total, D, LANE),
+            pl.BlockSpec((1, Tp, D, LANE),
                          lambda bh, c, l: (bh, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -239,18 +286,23 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
                                lambda bh, c, l: (bh, c, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * H, Qpad, D), jnp.float32),
-    )(idx, w, val)
+    )(tmin, tmax, idx, w, val)
 
     out = out[:, :Q].reshape(B, H, Q, D).transpose(0, 2, 1, 3)
     return out.reshape(B, Q, H * D).astype(value.dtype)
 
 
-def _msda_bwd_kernel(idx_ref, w_ref, val_ref, g_ref, vdot_ref, gval_ref):
+def _msda_bwd_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, g_ref,
+                     vdot_ref, gval_ref):
     """Fused backward: per-tap value dots + grad_value scatter.
 
     Grid (BH, NC//CB, L), levels fastest.  ``gval_ref`` (the channel-major
     grad_value table) stays VMEM-resident per BH and accumulates across all
-    (chunk-block, level) steps; ``vdot_ref`` mirrors the tap layout."""
+    (chunk-block, level) steps; ``vdot_ref`` mirrors the tap layout.
+    Same probe structure as the forward: SMEM tile windows, unclamped
+    probes over a zero-padded table, rare tail hoisted to one branch per
+    grid step."""
+    cblk = pl.program_id(1)
     l = pl.program_id(2)
     D = val_ref.shape[2]
 
@@ -262,10 +314,8 @@ def _msda_bwd_kernel(idx_ref, w_ref, val_ref, g_ref, vdot_ref, gval_ref):
     lanes = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 1)
     gt = (lanes // GROUP == rows).astype(jnp.float32)       # (QPC, LANE)
     lane_j = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
-    T_total = val_ref.shape[1]
-    STATIC_PROBES = 4
 
-    for c in range(CB):
+    def chunk_rows(c):
         taps = idx_ref[0, 0, 0, c]                  # (1, LANE) int32
         w = w_ref[0, 0, 0, c]                       # (1, LANE) f32
         g8 = g_ref[0, c * QPC:(c + 1) * QPC, :]     # (QPC, D) f32
@@ -274,39 +324,52 @@ def _msda_bwd_kernel(idx_ref, w_ref, val_ref, g_ref, vdot_ref, gval_ref):
             g8, gt, dimension_numbers=(((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)      # (D, LANE)
-        Rs = R * w                                   # folded-weight rows
+        return taps, R, R * w
+
+    def probe(t, taps_b, R, Rs, vdot):
+        tile = val_ref[0, t]                     # (D, LANE)
+        lane = taps_b - t * LANE
+        hit = (lane >= 0) & (lane < LANE)
+        gv = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
+                                 axis=1)
+        gv = jnp.where(hit, gv, 0.0).astype(jnp.float32)
+        vdot = vdot + jnp.sum(gv * R, axis=0, keepdims=True)
+        # scatter folded rows into the tile: oh[j, k] = (lane_k == j)
+        oh = ((lane[0:1] == lane_j) & hit[0:1]).astype(jnp.float32)
+        contrib = jax.lax.dot_general(
+            Rs, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)  # (D, LANE_j)
+        gval_ref[0, t] += contrib
+        return vdot
+
+    for c in range(CB):
+        taps, R, Rs = chunk_rows(c)
         taps_b = jnp.broadcast_to(taps, (D, LANE))
-        tmin = jnp.min(taps) // LANE
-        tmax = jnp.max(taps) // LANE
-
-        def probe(t, active, vdot):
-            tile = val_ref[0, t]                     # (D, LANE)
-            lane = taps_b - t * LANE
-            hit = (lane >= 0) & (lane < LANE) & active
-            gv = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
-                                     axis=1)
-            gv = jnp.where(hit, gv, 0.0).astype(jnp.float32)
-            vdot = vdot + jnp.sum(gv * R, axis=0, keepdims=True)
-            # scatter folded rows into the tile: oh[j, k] = (lane_k == j)
-            oh = ((lane[0:1] == lane_j) & hit[0:1]).astype(jnp.float32)
-            contrib = jax.lax.dot_general(
-                Rs, oh, dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)  # (D, LANE_j)
-            gval_ref[0, t] += contrib
-            return vdot
-
+        tmin = tmin_ref[0, l, cblk, c]
         vdot = jnp.zeros((1, LANE), jnp.float32)
         for k in range(STATIC_PROBES):
-            t = jnp.minimum(tmin + k, T_total - 1)
-            vdot = probe(t, tmin + k <= tmax, vdot)
-        vdot = jax.lax.cond(
-            tmax - tmin >= STATIC_PROBES,
-            lambda v: jax.lax.fori_loop(
-                tmin + STATIC_PROBES, tmax + 1,
-                lambda t, vv: probe(t, jnp.bool_(True), vv), v),
-            lambda v: v, vdot)
+            vdot = probe(tmin + k, taps_b, R, Rs, vdot)
         vdot_ref[0, 0, 0, c] = vdot
+
+    block_overflow = jnp.zeros((), jnp.int32)
+    for c in range(CB):
+        block_overflow = jnp.maximum(
+            block_overflow,
+            tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
+
+    @pl.when(block_overflow >= STATIC_PROBES)
+    def _():
+        for c in range(CB):
+            taps, R, Rs = chunk_rows(c)
+            taps_b = jnp.broadcast_to(taps, (D, LANE))
+            tmin = tmin_ref[0, l, cblk, c]
+            tmax = tmax_ref[0, l, cblk, c]
+            extra = jax.lax.fori_loop(
+                tmin + STATIC_PROBES, tmax + 1,
+                lambda t, vv: probe(t, taps_b, R, Rs, vv),
+                jnp.zeros((1, LANE), jnp.float32))
+            vdot_ref[0, 0, 0, c] += extra
 
 
 def _backward(value, spatial_shapes, sampling_locations, attention_weights,
@@ -317,12 +380,15 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
 
     tile_base, T_total = _tile_bases(spatial_shapes)
     val = _value_tables(value, spatial_shapes, T_total)
+    val = jnp.pad(val, ((0, 0), (0, STATIC_PROBES - 1), (0, 0), (0, 0)))
+    Tp = T_total + STATIC_PROBES - 1
     locs_p, attn_p, Qpad = _pad_queries(sampling_locations,
                                         attention_weights)
     NC = Qpad * GROUP // LANE
     idx, w = _prep_taps(spatial_shapes, locs_p, attn_p, tile_base)
     idx = idx.reshape(B * H, L, NC // CB, CB, 1, LANE)
     w = w.reshape(B * H, L, NC // CB, CB, 1, LANE)
+    tmin, tmax = _tile_windows(idx)
     g_bh = g.reshape(B, Q, H, D).transpose(0, 2, 1, 3).reshape(
         B * H, Q, D).astype(jnp.float32)
     g_bh = jnp.pad(g_bh, ((0, 0), (0, Qpad - Q), (0, 0)))
@@ -331,13 +397,19 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
         _msda_bwd_kernel,
         grid=(B * H, NC // CB, L),
         in_specs=[
+            pl.BlockSpec((1, L, NC // CB, CB),
+                         lambda bh, c, l: (bh, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, L, NC // CB, CB),
+                         lambda bh, c, l: (bh, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1, CB, 1, LANE),
                          lambda bh, c, l: (bh, l, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, CB, 1, LANE),
                          lambda bh, c, l: (bh, l, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T_total, D, LANE),
+            pl.BlockSpec((1, Tp, D, LANE),
                          lambda bh, c, l: (bh, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QPC * CB, D),
@@ -348,16 +420,17 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
             pl.BlockSpec((1, 1, 1, CB, 1, LANE),
                          lambda bh, c, l: (bh, l, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T_total, D, LANE),
+            pl.BlockSpec((1, Tp, D, LANE),
                          lambda bh, c, l: (bh, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B * H, L, NC // CB, CB, 1, LANE),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((B * H, T_total, D, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Tp, D, LANE), jnp.float32),
         ),
-    )(idx, w, val, g_bh)
+    )(tmin, tmax, idx, w, val, g_bh)
+    gval = gval[:, :T_total]  # drop the probe-pad zero tiles
 
     # unpack grad_value tables back to (B, N, H, D)
     gval = gval.reshape(B, H, T_total, D, LANE)
