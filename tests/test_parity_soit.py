@@ -197,3 +197,138 @@ def test_soit_forward_and_mask_parity(soit_pair):
         jnp.asarray(np.asarray(cxcy.numpy())[None]),
         method="predict_masks")[0]
     _close("masks", masks_mine, mask_pred_t, atol=5e-3)
+
+
+TEXT_DIM = 24
+
+
+def test_dkdetr_parity():
+    """DK-DETR (= SOITHead with text-embedding cls branches + cosine
+    scoring, ``opera/models/dense_heads/dkdetr_head.py:36``): converted
+    weights reproduce the reference decoder cosine-similarity logits,
+    boxes and encoder outputs.  ``convert_soit_state_dict`` covers the
+    DKDETR tree by construction (same module names, different cls dims).
+    """
+    import torch
+    from reference_oracle import install_stubs
+    install_stubs()
+    for p in (f"{REFERENCE_ROOT}/third_party/mmdetection", REFERENCE_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from opera.models import build_model
+    from reference_oracle import patch_cpu_fallbacks
+    patch_cpu_fallbacks()
+
+    torch.manual_seed(1)
+    # same reduced SOIT detector, but with the DK-DETR head
+    import copy
+    import test_parity_soit as me
+    cfg = None
+    # rebuild the reduced config by calling build_reference's cfg path:
+    # simplest is to construct the reference fresh with the DKDETR head
+    enc_layer = dict(
+        type='mmcv.BaseTransformerLayer',
+        attn_cfgs=dict(type='mmcv.MultiScaleDeformableAttention',
+                       embed_dims=EMBED),
+        ffn_cfgs=dict(type='FFN', embed_dims=EMBED,
+                      feedforward_channels=128, ffn_drop=0.0),
+        feedforward_channels=128, ffn_dropout=0.0,
+        operation_order=('self_attn', 'norm', 'ffn', 'norm'))
+    seg_layer = dict(enc_layer)
+    seg_layer["attn_cfgs"] = dict(
+        type='mmcv.MultiScaleDeformableAttention', embed_dims=EMBED,
+        num_heads=1, num_levels=1)
+    dec_layer = dict(
+        type='mmcv.DetrTransformerDecoderLayer',
+        attn_cfgs=[
+            dict(type='mmcv.MultiheadAttention', embed_dims=EMBED,
+                 num_heads=8, dropout=0.0),
+            dict(type='mmcv.MultiScaleDeformableAttention',
+                 embed_dims=EMBED)],
+        ffn_cfgs=dict(type='FFN', embed_dims=EMBED,
+                      feedforward_channels=128, ffn_drop=0.0),
+        feedforward_channels=128, ffn_dropout=0.0,
+        operation_order=('self_attn', 'norm', 'cross_attn', 'norm',
+                         'ffn', 'norm'))
+    cfg = dict(
+        type='SOIT',
+        backbone=dict(
+            type='mmdet.ResNet', depth=18, num_stages=4,
+            out_indices=(1, 2, 3), frozen_stages=1,
+            norm_cfg=dict(type='BN', requires_grad=False), norm_eval=True,
+            style='pytorch'),
+        neck=dict(
+            type='mmdet.ChannelMapper', in_channels=[128, 256, 512],
+            kernel_size=1, out_channels=EMBED, act_cfg=None,
+            norm_cfg=dict(type='GN', num_groups=32), num_outs=4),
+        bbox_head=dict(
+            type='opera.DKDETRHead',
+            text_dim=TEXT_DIM, temperature=2.0,
+            num_query=NQ, num_classes=NC, in_channels=512,
+            sync_cls_avg_factor=True,
+            dynamic_params_dims=441, dynamic_encoder_heads=4,
+            mask_positional_encoding_cfg=dict(
+                type='opera.RelSinePositionalEncoding', num_feats=4,
+                normalize=True),
+            transformer=dict(
+                type='opera.SOITTransformer', mask_channels=8,
+                two_stage_num_proposals=NQ,
+                encoder=dict(type='mmcv.DetrTransformerEncoder',
+                             num_layers=ENC_LAYERS,
+                             transformerlayers=enc_layer),
+                seg_encoder=dict(type='mmcv.DetrTransformerEncoder',
+                                 num_layers=1, transformerlayers=seg_layer),
+                decoder=dict(
+                    type='mmcv.DeformableDetrTransformerDecoder',
+                    num_layers=DEC_LAYERS, return_intermediate=True,
+                    transformerlayers=dec_layer)),
+            positional_encoding=dict(
+                type='mmcv.SinePositionalEncoding', num_feats=EMBED // 2,
+                normalize=True, offset=-0.5),
+            loss_cls=dict(type='mmdet.FocalLoss', use_sigmoid=True,
+                          gamma=2.0, alpha=0.25, loss_weight=2.0),
+            loss_bbox=dict(type='mmdet.L1Loss', loss_weight=5.0),
+            loss_iou=dict(type='mmdet.GIoULoss', loss_weight=2.0)),
+        test_cfg=dict(max_per_img=5))
+    ref = build_model(cfg)
+    ref.init_weights()
+    ref.eval()
+    import functools
+    tr = ref.bbox_head.transformer
+    tr.get_proposal_pos_embed = functools.partial(
+        type(tr).get_proposal_pos_embed.__get__(tr),
+        num_pos_feats=EMBED // 2)
+    state_dict = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    from pavenet_tpu.models.detectors.soit import SOITDetector
+    from pavenet_tpu.utils.weight_convert import convert_soit_state_dict
+    mine = SOITDetector(
+        num_classes=NC, num_query=NQ, max_gt=4, backbone_depth=18,
+        embed_dims=EMBED, num_encoder_layers=ENC_LAYERS,
+        num_decoder_layers=DEC_LAYERS, feedforward_channels=128,
+        cls_emb_dim=TEXT_DIM, temperature=2.0, max_per_img=5)
+    variables = convert_soit_state_dict(
+        state_dict, num_decoder_layers=DEC_LAYERS,
+        num_encoder_layers=ENC_LAYERS, backbone_depth=18)
+    assert not variables.pop("_unused_reference_keys"), "unconverted keys"
+
+    rng = np.random.RandomState(2)
+    img = rng.randn(B, 3, H, W).astype(np.float32)
+    text = rng.randn(NC, TEXT_DIM).astype(np.float32)
+    img_h, img_w = H - 16, W - 11
+    img_metas = [dict(batch_input_shape=(H, W),
+                      img_shape=(img_h, img_w, 3))] * B
+    with torch.no_grad():
+        feats = ref.extract_feat(torch.from_numpy(img))
+        (cls_t, coord_t, enc_cls_t, enc_coord_t, _mask_proto,
+         dyn_t) = ref.bbox_head.forward(feats, img_metas,
+                                        torch.from_numpy(text))
+
+    out = mine.apply(variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+                     jnp.asarray([[img_h, img_w]] * B, jnp.int32),
+                     method="forward_outputs",
+                     text_feats=jnp.asarray(text))
+    _close("dk cls (cosine sims)", out["all_cls_scores"], cls_t, atol=5e-3)
+    _close("dk box", out["all_bbox_preds"], coord_t)
+    _close("dk enc_cls", out["enc_cls_scores"], enc_cls_t, atol=5e-3)
+    _close("dk dyn", out["all_dyn_params"], dyn_t, atol=5e-3)
