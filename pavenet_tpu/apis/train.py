@@ -36,9 +36,13 @@ class TrainState:
     ema_params: Any = None  # optional EMA of params (mmcv EMAHook)
 
 
-def _param_label(path: tuple) -> str:
+def _param_label(path: tuple, freeze_backbone_neck: bool = False) -> str:
     keys = [getattr(k, "key", str(k)) for k in path]
     joined = "/".join(keys)
+    if freeze_backbone_neck and ("backbone" in keys or "neck" in keys):
+        # VideoPoseV2: backbone + neck excluded from training entirely
+        # (reference runs them under no_grad, ``videoposev2.py:56-60``)
+        return "frozen"
     if "backbone" in keys:
         # frozen pieces: stem + stage 1 + every BatchNorm affine
         if any(k.startswith(("conv1", "bn1", "layer1_")) for k in keys):
@@ -116,7 +120,8 @@ def build_optimizer(params,
                     grad_clip: float = 0.1,
                     accumulate_steps: int = 8,
                     backbone_lr_mult: float = 0.1,
-                    offsets_lr_mult: float = 0.1):
+                    offsets_lr_mult: float = 0.1,
+                    freeze_backbone_neck: bool = False):
     """AdamW with per-group lr multipliers + clip + accumulation."""
     def adamw(mult):
         if callable(learning_rate):
@@ -127,7 +132,7 @@ def build_optimizer(params,
                            weight_decay=weight_decay)
 
     labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: _param_label(path), params)
+        lambda path, _: _param_label(path, freeze_backbone_neck), params)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.multi_transform(

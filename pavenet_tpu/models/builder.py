@@ -123,6 +123,9 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
         # queries, no detach (``:21399-21403``, ``:6729-6746``)
         query_from_encoder_token=not is_petr,
         detach_decoder_refs=is_petr,
+        # VideoPoseV2 trains with backbone+neck frozen
+        # (``videoposev2.py:56-60``)
+        freeze_backbone_neck=det_type == "VideoPoseV2",
         # rescoring + OKS-NMS live in the video head's get_bboxes only
         with_rescoring=test_cfg.get("with_rescoring", not is_petr),
         with_nms=test_cfg.get("with_nms", not is_petr),

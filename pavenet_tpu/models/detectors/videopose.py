@@ -96,6 +96,9 @@ class VideoPoseDetector(nn.Module):
     # PETR-vs-video architectural switches (see VideoPoseHead)
     query_from_encoder_token: bool = True
     detach_decoder_refs: bool = False
+    # VideoPoseV2 (reference ``videoposev2.py:56-60``): backbone + neck
+    # run under no_grad at train time (fine-tune the transformer only)
+    freeze_backbone_neck: bool = False
     loss_cls_weight: float = 0.5
     loss_kpt_weight: float = 1.0
     loss_kpt_rpn_weight: float = 1.0
@@ -158,6 +161,8 @@ class VideoPoseDetector(nn.Module):
             # HRNet emits all branch maps; PETR's neck takes the last 3
             x = [x[i] for i in self.backbone_out_indices]
         feats = self.neck(x)
+        if self.freeze_backbone_neck:
+            feats = [jax.lax.stop_gradient(f) for f in feats]
         return [f.reshape(B, T, *f.shape[1:]) for f in feats]
 
     @staticmethod

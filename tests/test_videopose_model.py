@@ -93,3 +93,58 @@ def test_grads_flow(model_and_params):
     # at least the decoder cross-attn and flows must receive gradient
     gnorm = sum(float(jnp.abs(g).sum()) for g in flat)
     assert gnorm > 0
+
+
+def test_videopose_v2_freezes_backbone_and_neck():
+    """VideoPoseV2 = V1 trained with backbone+neck under no_grad
+    (reference ``opera/models/detectors/videoposev2.py:56-60``): the
+    builder sets the freeze flag and the optimizer excludes those params."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from pavenet_tpu.models.builder import build_detector
+    from pavenet_tpu.models.zoo import dummy_clip_batch
+    from pavenet_tpu.apis.train import create_train_state, make_train_step
+
+    model = build_detector(dict(
+        type="opera.VideoPoseV2",
+        backbone=dict(type="mmdet.ResNet", depth=18),
+        bbox_head=dict(
+            num_query=12, num_keypoints=15, num_frames=3,
+            transformer=dict(
+                encoder=dict(
+                    num_layers=1,
+                    transformerlayers=dict(attn_cfgs=dict(embed_dims=32),
+                                           feedforward_channels=64)),
+                decoder=dict(num_layers=2),
+                refine_decoder=dict(num_layers=1))),
+        test_cfg=dict(max_per_img=5)))
+    assert model.freeze_backbone_neck
+
+    rng = np.random.RandomState(0)
+    batch = dummy_clip_batch(rng, batch_size=1, num_frames=3, height=96,
+                             width=128, num_keypoints=15, max_gt=5,
+                             train=True)
+    state, tx = create_train_state(
+        model, batch, seed=0,
+        tx_kwargs=dict(learning_rate=1e-3, accumulate_steps=1,
+                       freeze_backbone_neck=True))
+    step = make_train_step(model, tx, donate=False)
+    before_bb = jax.tree.map(lambda x: np.asarray(x),
+                             state.params["backbone"])
+    before_neck = jax.tree.map(lambda x: np.asarray(x),
+                               state.params["neck"])
+    new_state, losses = step(state, batch)
+    assert np.isfinite(float(losses["loss"]))
+    for name, before, after in (
+            ("backbone", before_bb, new_state.params["backbone"]),
+            ("neck", before_neck, new_state.params["neck"])):
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.abs(jnp.asarray(a) - b).max()),
+            before, after)
+        assert max(jax.tree.leaves(diffs)) == 0.0, name
+    # the head must still train
+    hd = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.params["head"], new_state.params["head"])
+    assert max(jax.tree.leaves(hd)) > 0.0

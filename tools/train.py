@@ -138,7 +138,9 @@ def main():
         model, first, seed=args.seed, ema_decay=ema_decay,
         tx_kwargs=dict(learning_rate=schedule,
                        weight_decay=opt_cfg.get("weight_decay", 1e-4),
-                       grad_clip=clip, accumulate_steps=accum))
+                       grad_clip=clip, accumulate_steps=accum,
+                       freeze_backbone_neck=getattr(
+                           model, "freeze_backbone_neck", False)))
     train_step = make_train_step(model, tx, mesh=mesh, ema_decay=ema_decay)
 
     start_epoch = 0
