@@ -256,12 +256,36 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
     if impl == "auto":
         import jax as _jax
         P = sampling_locations.shape[-2]
+        # P != 4 stays on XLA: the 'pallas_split' point-folding path wins
+        # standalone (6.4 vs 9.3 ms on the decoder shape) but loses
+        # in-model on v5e (clip 496 -> 526 ms; XLA overlaps the small
+        # decoder gathers with other work) and costs a pathological
+        # ~40 min Mosaic compile for the extra kernel specialization.
         impl = ("pallas" if P == 4 and _jax.default_backend() == "tpu"
                 else "xla")
     if impl == "pallas":
         from .pallas.msda import ms_deform_attn_pallas
         return ms_deform_attn_pallas(
             value, spatial_shapes, sampling_locations, attention_weights)
+    if impl == "pallas_split":
+        # the op is linear over sampling points, and the kernel layout
+        # wants exactly 4 points per query: zero-pad P to a multiple of 4
+        # and fold the point groups into the query axis, then regroup-sum.
+        # This routes the pose-aware attention (P = num_keypoints, e.g.
+        # 15) through the Pallas kernel too.
+        from .pallas.msda import ms_deform_attn_pallas
+        B, Q, H, L, P, _ = sampling_locations.shape
+        k = -(-P // 4)
+        pad = k * 4 - P
+        loc = jnp.pad(sampling_locations,
+                      ((0, 0),) * 4 + ((0, pad), (0, 0)))
+        wts = jnp.pad(attention_weights, ((0, 0),) * 4 + ((0, pad),))
+        loc = loc.reshape(B, Q, H, L, k, 4, 2).transpose(0, 1, 4, 2, 3, 5, 6)
+        loc = loc.reshape(B, Q * k, H, L, 4, 2)
+        wts = wts.reshape(B, Q, H, L, k, 4).transpose(0, 1, 4, 2, 3, 5)
+        wts = wts.reshape(B, Q * k, H, L, 4)
+        out = ms_deform_attn_pallas(value, spatial_shapes, loc, wts)
+        return out.reshape(B, Q, k, -1).sum(2)
     # rematerialize the sampling in backward: the gathered-tap intermediates
     # are the dominant training-memory cost (recompute beats storing them)
     fn = jax.checkpoint(

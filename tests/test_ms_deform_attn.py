@@ -119,3 +119,28 @@ def test_bf16_runs_and_is_close():
                            locs.astype(jnp.bfloat16),
                            w.astype(jnp.bfloat16))).astype(np.float32)
     assert np.abs(out16 - out32).max() < 0.1
+
+
+def test_pallas_split_matches_xla_on_tpu():
+    """P=15 point-folding path (pose attention shapes) vs the XLA oracle;
+    TPU-only (the split path reuses the Pallas kernel)."""
+    import jax
+    import pytest as _pytest
+    if jax.default_backend() != "tpu":
+        _pytest.skip("pallas_split needs a TPU")
+    import numpy as np
+    import jax.numpy as jnp
+    from pavenet_tpu.ops.ms_deform_attn import (
+        ms_deform_attn, ms_deform_attn_xla)
+
+    SH = ((9, 13), (5, 7))
+    N = sum(h * w for h, w in SH)
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.randn(1, N, 2, 16), jnp.float32)
+    loc = jnp.asarray(rng.rand(1, 20, 2, 2, 15, 2), jnp.float32)
+    w = rng.rand(1, 20, 2, 2, 15).astype(np.float32)
+    w = jnp.asarray(w / w.sum((-1, -2), keepdims=True))
+    got = np.asarray(jax.jit(lambda a, b, c: ms_deform_attn(
+        a, SH, b, c, impl="pallas_split"))(v, loc, w))
+    want = np.asarray(ms_deform_attn_xla(v, SH, loc, w))
+    np.testing.assert_allclose(got, want, atol=1e-5)
