@@ -19,6 +19,8 @@ model = dict(
         num_keypoints=17,
         stacked_convs=3,
         feat_channels=256,
+        center_sampling=True,
+        center_sample_radius=1.5,
         loss_cls=dict(type='mmdet.VarifocalLoss', use_sigmoid=True,
                       loss_weight=1.0),
         loss_hm=dict(type='opera.CenterFocalLoss', loss_weight=1.0)),

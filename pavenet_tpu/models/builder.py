@@ -197,6 +197,8 @@ def _build_inspose(cfg, train_cfg, test_cfg, dtype):
         backbone_depth=backbone.get("depth", 50),
         feat_channels=head.get("feat_channels", 256),
         stacked_convs=head.get("stacked_convs", 3),
+        center_sampling=head.get("center_sampling", False),
+        center_sample_radius=head.get("center_sample_radius", 1.5),
         loss_cls_weight=_loss_weight(head, "loss_cls", 1.0),
         loss_hm_weight=_loss_weight(head, "loss_hm", 1.0),
         max_per_img=(test_cfg or {}).get("max_per_img", 100),

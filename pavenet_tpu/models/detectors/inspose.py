@@ -109,6 +109,10 @@ class InsPoseDetector(nn.Module):
     # ``configs/inspose/inspose_r50_8x4_3x_coco.py:59-64``)
     nms_iou_thr: float = 0.3
     score_thr: float = 0.05
+    # assignment (reference head defaults False/1.5; the production
+    # config enables center sampling, cfg ``:35-36``)
+    center_sampling: bool = False
+    center_sample_radius: float = 1.5
     loss_cls_weight: float = 1.0
     loss_offset_weight: float = 1.0
     loss_hm_weight: float = 1.0
@@ -251,7 +255,9 @@ class InsPoseDetector(nn.Module):
                 jnp.concatenate(strides, 0))
 
     def _assign(self, points, strides_flat, gt_boxes, gt_valid):
-        """FCOS assignment: inside-box + regress-range + min-area."""
+        """FCOS assignment (reference ``inspose_head.py:831-913``):
+        center-sampling (production cfg: radius 1.5) or inside-box,
+        + regress-range + min-area tie-break."""
         N = points.shape[0]
         x, y = points[:, 0], points[:, 1]
         l = x[:, None] - gt_boxes[None, :, 0]
@@ -259,7 +265,21 @@ class InsPoseDetector(nn.Module):
         r = gt_boxes[None, :, 2] - x[:, None]
         b = gt_boxes[None, :, 3] - y[:, None]
         ltrb = jnp.stack([l, t, r, b], -1)               # (N, G, 4)
-        inside = ltrb.min(-1) > 0
+        if self.center_sampling:
+            # shrink each gt box to a stride-scaled center box, clipped
+            # to the gt (``:858-894``)
+            rad = strides_flat[:, None] * self.center_sample_radius
+            cx = (gt_boxes[None, :, 0] + gt_boxes[None, :, 2]) / 2
+            cy = (gt_boxes[None, :, 1] + gt_boxes[None, :, 3]) / 2
+            x0 = jnp.maximum(cx - rad, gt_boxes[None, :, 0])
+            y0 = jnp.maximum(cy - rad, gt_boxes[None, :, 1])
+            x1 = jnp.minimum(cx + rad, gt_boxes[None, :, 2])
+            y1 = jnp.minimum(cy + rad, gt_boxes[None, :, 3])
+            cb = jnp.stack([x[:, None] - x0, y[:, None] - y0,
+                            x1 - x[:, None], y1 - y[:, None]], -1)
+            inside = cb.min(-1) > 0
+        else:
+            inside = ltrb.min(-1) > 0
         max_reg = ltrb.max(-1)
         ranges = jnp.asarray(self.regress_ranges, jnp.float32)
         # map per-point stride to its range row
@@ -267,7 +287,7 @@ class InsPoseDetector(nn.Module):
                                 strides_flat)
         lo = ranges[sidx, 0][:, None]
         hi = ranges[sidx, 1][:, None]
-        in_range = (max_reg > lo) & (max_reg <= hi)
+        in_range = (max_reg >= lo) & (max_reg <= hi)
         areas = ((gt_boxes[:, 2] - gt_boxes[:, 0])
                  * (gt_boxes[:, 3] - gt_boxes[:, 1]))
         cand = inside & in_range & gt_valid[None, :]
