@@ -82,6 +82,8 @@ def _prep_taps(spatial_shapes, locations, weights, tile_base):
 
 
 STATIC_PROBES = 4  # encoder tap spans are almost always <= 4 tiles
+TAIL_PROBES = 4    # top-anchored branchless tail probes (span <= 8 total)
+PROBE_PAD = STATIC_PROBES + TAIL_PROBES - 1  # zero tiles appended to tables
 
 
 def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
@@ -95,11 +97,12 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
     with STATIC_PROBES-1 zero tiles, so each probe tile is distinct and
     the lane-range check alone is exact — no per-probe scalar guard.
 
-    The rare span > STATIC_PROBES tail is hoisted to ONE ``pl.when`` per
-    grid step: measured on v5e, a per-chunk ``lax.cond``+zero-trip
+    The span > STATIC_PROBES tail is hoisted to TWO ``pl.when`` branches
+    per grid step (measured on v5e, a per-chunk ``lax.cond``+zero-trip
     ``fori_loop`` cost ~55ms of a 152ms encoder-scale call even when the
-    tail never ran; the hoisted form brings the call to 96ms (1.6x) with
-    bit-identical outputs.
+    tail never ran): a branchless TAIL_PROBES top-anchored probe set
+    covering spans <= STATIC+TAIL, and a fori_loop over the remaining
+    middle for adversarial spans only — see the comment at the tail.
     """
     cblk = pl.program_id(1)
     l = pl.program_id(2)
@@ -138,7 +141,18 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
             preferred_element_type=jnp.float32)
         out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
-    # exact tail for adversarial spans, one branch per grid step
+    # two-level exact tail for long spans, one branch each per grid step.
+    # Level 1 (span > STATIC_PROBES): TAIL_PROBES *top-anchored* probes
+    # t_j = max(tmax - (TAIL_PROBES-1) + j, tmin + STATIC_PROBES + j) —
+    # strictly ascending, disjoint from the static window, and together
+    # they cover every span <= STATIC_PROBES + TAIL_PROBES with NO
+    # fori_loop (a per-chunk loop costs ~350 cycles/iter on the scalar
+    # core; encoder chunks whose queries live on a coarser level than the
+    # sampled one overflow *structurally* at row wraps, so this branch is
+    # warm in practice).  Probes past tmax land on later real tiles or the
+    # PROBE_PAD zero tiles: no tap maps there, the lane-range check alone
+    # keeps them exact.  Level 2 (span > STATIC+TAIL): fori over the
+    # remaining middle [tmin+STATIC, tmax-TAIL] — adversarial inputs only.
     block_overflow = jnp.zeros((), jnp.int32)
     for c in range(CB):
         block_overflow = jnp.maximum(
@@ -146,6 +160,31 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
             tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
 
     @pl.when(block_overflow >= STATIC_PROBES)
+    def _():
+        for c in range(CB):
+            taps = idx_ref[0, 0, 0, c]
+            w = w_ref[0, 0, 0, c]
+            taps_b = jnp.broadcast_to(taps, (D, LANE))
+            tmin = tmin_ref[0, l, cblk, c]
+            tmax = tmax_ref[0, l, cblk, c]
+
+            acc = jnp.zeros((D, LANE), jnp.float32)
+            for j in range(TAIL_PROBES):
+                t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
+                                tmin + STATIC_PROBES + j)
+                tile = val_ref[0, t]
+                lane = taps_b - t * LANE
+                hit = (lane >= 0) & (lane < LANE)
+                g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
+                                        axis=1)
+                acc = acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
+            part = jax.lax.dot_general(
+                gt, acc * w, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            out_ref[0, c * QPC:(c + 1) * QPC, :] += part
+
+    @pl.when(block_overflow >= STATIC_PROBES + TAIL_PROBES)
     def _():
         for c in range(CB):
             taps = idx_ref[0, 0, 0, c]
@@ -163,7 +202,7 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
                 return a + jnp.where(hit, g, 0.0).astype(jnp.float32)
 
             extra = jax.lax.fori_loop(
-                tmin + STATIC_PROBES, tmax + 1, tile_body,
+                tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1, tile_body,
                 jnp.zeros((D, LANE), jnp.float32))
             part = jax.lax.dot_general(
                 gt, extra * w, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -248,9 +287,9 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
 
     tile_base, T_total = _tile_bases(spatial_shapes)
     val = _value_tables(value, spatial_shapes, T_total)
-    # zero tiles so the static probes never need clamping
-    val = jnp.pad(val, ((0, 0), (0, STATIC_PROBES - 1), (0, 0), (0, 0)))
-    Tp = T_total + STATIC_PROBES - 1
+    # zero tiles so the static + tail probes never need clamping
+    val = jnp.pad(val, ((0, 0), (0, PROBE_PAD), (0, 0), (0, 0)))
+    Tp = T_total + PROBE_PAD
 
     assert CB % PACK == 0
     sampling_locations, attention_weights, Qpad = _pad_queries(
@@ -352,6 +391,7 @@ def _msda_bwd_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, g_ref,
             vdot = probe(tmin + k, taps_b, R, Rs, vdot)
         vdot_ref[0, 0, 0, c] = vdot
 
+    # two-level tail, mirroring the forward kernel's probe sets
     block_overflow = jnp.zeros((), jnp.int32)
     for c in range(CB):
         block_overflow = jnp.maximum(
@@ -365,8 +405,22 @@ def _msda_bwd_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, g_ref,
             taps_b = jnp.broadcast_to(taps, (D, LANE))
             tmin = tmin_ref[0, l, cblk, c]
             tmax = tmax_ref[0, l, cblk, c]
+            extra = jnp.zeros((1, LANE), jnp.float32)
+            for j in range(TAIL_PROBES):
+                t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
+                                tmin + STATIC_PROBES + j)
+                extra = probe(t, taps_b, R, Rs, extra)
+            vdot_ref[0, 0, 0, c] += extra
+
+    @pl.when(block_overflow >= STATIC_PROBES + TAIL_PROBES)
+    def _():
+        for c in range(CB):
+            taps, R, Rs = chunk_rows(c)
+            taps_b = jnp.broadcast_to(taps, (D, LANE))
+            tmin = tmin_ref[0, l, cblk, c]
+            tmax = tmax_ref[0, l, cblk, c]
             extra = jax.lax.fori_loop(
-                tmin + STATIC_PROBES, tmax + 1,
+                tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1,
                 lambda t, vv: probe(t, taps_b, R, Rs, vv),
                 jnp.zeros((1, LANE), jnp.float32))
             vdot_ref[0, 0, 0, c] += extra
@@ -380,8 +434,8 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
 
     tile_base, T_total = _tile_bases(spatial_shapes)
     val = _value_tables(value, spatial_shapes, T_total)
-    val = jnp.pad(val, ((0, 0), (0, STATIC_PROBES - 1), (0, 0), (0, 0)))
-    Tp = T_total + STATIC_PROBES - 1
+    val = jnp.pad(val, ((0, 0), (0, PROBE_PAD), (0, 0), (0, 0)))
+    Tp = T_total + PROBE_PAD
     locs_p, attn_p, Qpad = _pad_queries(sampling_locations,
                                         attention_weights)
     NC = Qpad * GROUP // LANE

@@ -6,15 +6,20 @@ must hard-override — not setdefault — before jax initializes its backends.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("PAVENET_TEST_TPU"):
+    # escape hatch: run the TPU-gated kernel parity tests on real hardware
+    # (e.g. PAVENET_TEST_TPU=1 pytest tests/test_pallas_msda.py)
+    import jax
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 # jax 0.9 CPU convs/matmuls default to a reduced-precision path (~6e-3
 # rel error vs f64 numpy; torch is exact) — force full f32 so parity
 # tests compare math, not fastmath (TPU bench paths are unaffected)
