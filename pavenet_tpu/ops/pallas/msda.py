@@ -84,6 +84,10 @@ def _prep_taps(spatial_shapes, locations, weights, tile_base):
 STATIC_PROBES = 4  # encoder tap spans are almost always <= 4 tiles
 TAIL_PROBES = 4    # top-anchored branchless tail probes (span <= 8 total)
 PROBE_PAD = STATIC_PROBES + TAIL_PROBES - 1  # zero tiles appended to tables
+TAIL_GROUP = 32    # chunks per tail branch; == CB (block-level) measured
+                   # best in-model: finer groups (8) save redo work but the
+                   # extra per-group branch tests cost more (423 vs 415 ms
+                   # full clip)
 
 
 def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
@@ -141,7 +145,7 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
             preferred_element_type=jnp.float32)
         out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
-    # two-level exact tail for long spans, one branch each per grid step.
+    # two-level exact tail for long spans, branched per GROUP of chunks.
     # Level 1 (span > STATIC_PROBES): TAIL_PROBES *top-anchored* probes
     # t_j = max(tmax - (TAIL_PROBES-1) + j, tmin + STATIC_PROBES + j) —
     # strictly ascending, disjoint from the static window, and together
@@ -149,66 +153,71 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
     # fori_loop (a per-chunk loop costs ~350 cycles/iter on the scalar
     # core; encoder chunks whose queries live on a coarser level than the
     # sampled one overflow *structurally* at row wraps, so this branch is
-    # warm in practice).  Probes past tmax land on later real tiles or the
-    # PROBE_PAD zero tiles: no tap maps there, the lane-range check alone
-    # keeps them exact.  Level 2 (span > STATIC+TAIL): fori over the
-    # remaining middle [tmin+STATIC, tmax-TAIL] — adversarial inputs only.
-    block_overflow = jnp.zeros((), jnp.int32)
-    for c in range(CB):
-        block_overflow = jnp.maximum(
-            block_overflow,
-            tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
+    # warm in practice).  Branching per TAIL_GROUP-chunk group rather than
+    # per 32-chunk block keeps the warm branch from redoing chunks whose
+    # spans fit the static window (overflowing chunks cluster at row
+    # wraps).  Probes past tmax land on later real tiles or the PROBE_PAD
+    # zero tiles: no tap maps there, the lane-range check alone keeps
+    # them exact.  Level 2 (span > STATIC+TAIL): fori over the remaining
+    # middle [tmin+STATIC, tmax-TAIL] — adversarial inputs only.
+    for g0 in range(0, CB, TAIL_GROUP):
+        group_overflow = jnp.zeros((), jnp.int32)
+        for c in range(g0, g0 + TAIL_GROUP):
+            group_overflow = jnp.maximum(
+                group_overflow,
+                tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
 
-    @pl.when(block_overflow >= STATIC_PROBES)
-    def _():
-        for c in range(CB):
-            taps = idx_ref[0, 0, 0, c]
-            w = w_ref[0, 0, 0, c]
-            taps_b = jnp.broadcast_to(taps, (D, LANE))
-            tmin = tmin_ref[0, l, cblk, c]
-            tmax = tmax_ref[0, l, cblk, c]
+        @pl.when(group_overflow >= STATIC_PROBES)
+        def _(g0=g0):
+            for c in range(g0, g0 + TAIL_GROUP):
+                taps = idx_ref[0, 0, 0, c]
+                w = w_ref[0, 0, 0, c]
+                taps_b = jnp.broadcast_to(taps, (D, LANE))
+                tmin = tmin_ref[0, l, cblk, c]
+                tmax = tmax_ref[0, l, cblk, c]
 
-            acc = jnp.zeros((D, LANE), jnp.float32)
-            for j in range(TAIL_PROBES):
-                t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
-                                tmin + STATIC_PROBES + j)
-                tile = val_ref[0, t]
-                lane = taps_b - t * LANE
-                hit = (lane >= 0) & (lane < LANE)
-                g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
-                                        axis=1)
-                acc = acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
-            part = jax.lax.dot_general(
-                gt, acc * w, dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            out_ref[0, c * QPC:(c + 1) * QPC, :] += part
+                acc = jnp.zeros((D, LANE), jnp.float32)
+                for j in range(TAIL_PROBES):
+                    t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
+                                    tmin + STATIC_PROBES + j)
+                    tile = val_ref[0, t]
+                    lane = taps_b - t * LANE
+                    hit = (lane >= 0) & (lane < LANE)
+                    g = jnp.take_along_axis(
+                        tile, jnp.clip(lane, 0, LANE - 1), axis=1)
+                    acc = acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
+                part = jax.lax.dot_general(
+                    gt, acc * w, dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
-    @pl.when(block_overflow >= STATIC_PROBES + TAIL_PROBES)
-    def _():
-        for c in range(CB):
-            taps = idx_ref[0, 0, 0, c]
-            w = w_ref[0, 0, 0, c]
-            taps_b = jnp.broadcast_to(taps, (D, LANE))
-            tmin = tmin_ref[0, l, cblk, c]
-            tmax = tmax_ref[0, l, cblk, c]
+        @pl.when(group_overflow >= STATIC_PROBES + TAIL_PROBES)
+        def _(g0=g0):
+            for c in range(g0, g0 + TAIL_GROUP):
+                taps = idx_ref[0, 0, 0, c]
+                w = w_ref[0, 0, 0, c]
+                taps_b = jnp.broadcast_to(taps, (D, LANE))
+                tmin = tmin_ref[0, l, cblk, c]
+                tmax = tmax_ref[0, l, cblk, c]
 
-            def tile_body(t, a):
-                tile = val_ref[0, t]
-                lane = taps_b - t * LANE
-                hit = (lane >= 0) & (lane < LANE)
-                g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
-                                        axis=1)
-                return a + jnp.where(hit, g, 0.0).astype(jnp.float32)
+                def tile_body(t, a):
+                    tile = val_ref[0, t]
+                    lane = taps_b - t * LANE
+                    hit = (lane >= 0) & (lane < LANE)
+                    g = jnp.take_along_axis(
+                        tile, jnp.clip(lane, 0, LANE - 1), axis=1)
+                    return a + jnp.where(hit, g, 0.0).astype(jnp.float32)
 
-            extra = jax.lax.fori_loop(
-                tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1, tile_body,
-                jnp.zeros((D, LANE), jnp.float32))
-            part = jax.lax.dot_general(
-                gt, extra * w, dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            out_ref[0, c * QPC:(c + 1) * QPC, :] += part
+                extra = jax.lax.fori_loop(
+                    tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1, tile_body,
+                    jnp.zeros((D, LANE), jnp.float32))
+                part = jax.lax.dot_general(
+                    gt, extra * w,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+                out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -391,39 +400,41 @@ def _msda_bwd_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, g_ref,
             vdot = probe(tmin + k, taps_b, R, Rs, vdot)
         vdot_ref[0, 0, 0, c] = vdot
 
-    # two-level tail, mirroring the forward kernel's probe sets
-    block_overflow = jnp.zeros((), jnp.int32)
-    for c in range(CB):
-        block_overflow = jnp.maximum(
-            block_overflow,
-            tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
+    # two-level tail, mirroring the forward kernel's probe sets and its
+    # per-TAIL_GROUP branch granularity
+    for g0 in range(0, CB, TAIL_GROUP):
+        group_overflow = jnp.zeros((), jnp.int32)
+        for c in range(g0, g0 + TAIL_GROUP):
+            group_overflow = jnp.maximum(
+                group_overflow,
+                tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
 
-    @pl.when(block_overflow >= STATIC_PROBES)
-    def _():
-        for c in range(CB):
-            taps, R, Rs = chunk_rows(c)
-            taps_b = jnp.broadcast_to(taps, (D, LANE))
-            tmin = tmin_ref[0, l, cblk, c]
-            tmax = tmax_ref[0, l, cblk, c]
-            extra = jnp.zeros((1, LANE), jnp.float32)
-            for j in range(TAIL_PROBES):
-                t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
-                                tmin + STATIC_PROBES + j)
-                extra = probe(t, taps_b, R, Rs, extra)
-            vdot_ref[0, 0, 0, c] += extra
+        @pl.when(group_overflow >= STATIC_PROBES)
+        def _(g0=g0):
+            for c in range(g0, g0 + TAIL_GROUP):
+                taps, R, Rs = chunk_rows(c)
+                taps_b = jnp.broadcast_to(taps, (D, LANE))
+                tmin = tmin_ref[0, l, cblk, c]
+                tmax = tmax_ref[0, l, cblk, c]
+                extra = jnp.zeros((1, LANE), jnp.float32)
+                for j in range(TAIL_PROBES):
+                    t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
+                                    tmin + STATIC_PROBES + j)
+                    extra = probe(t, taps_b, R, Rs, extra)
+                vdot_ref[0, 0, 0, c] += extra
 
-    @pl.when(block_overflow >= STATIC_PROBES + TAIL_PROBES)
-    def _():
-        for c in range(CB):
-            taps, R, Rs = chunk_rows(c)
-            taps_b = jnp.broadcast_to(taps, (D, LANE))
-            tmin = tmin_ref[0, l, cblk, c]
-            tmax = tmax_ref[0, l, cblk, c]
-            extra = jax.lax.fori_loop(
-                tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1,
-                lambda t, vv: probe(t, taps_b, R, Rs, vv),
-                jnp.zeros((1, LANE), jnp.float32))
-            vdot_ref[0, 0, 0, c] += extra
+        @pl.when(group_overflow >= STATIC_PROBES + TAIL_PROBES)
+        def _(g0=g0):
+            for c in range(g0, g0 + TAIL_GROUP):
+                taps, R, Rs = chunk_rows(c)
+                taps_b = jnp.broadcast_to(taps, (D, LANE))
+                tmin = tmin_ref[0, l, cblk, c]
+                tmax = tmax_ref[0, l, cblk, c]
+                extra = jax.lax.fori_loop(
+                    tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1,
+                    lambda t, vv: probe(t, taps_b, R, Rs, vv),
+                    jnp.zeros((1, LANE), jnp.float32))
+                vdot_ref[0, 0, 0, c] += extra
 
 
 def _backward(value, spatial_shapes, sampling_locations, attention_weights,

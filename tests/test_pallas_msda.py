@@ -70,3 +70,49 @@ def test_pallas_fused_backward_matches_xla_grads():
             scale = np.abs(a).max() + 1.0
             np.testing.assert_allclose(b, a, atol=1e-4 * scale,
                                        err_msg=f"{SH} {name}")
+
+
+@tpu_only
+def test_pallas_two_level_tail_probe_sets():
+    """Spans 5..8 ride the top-anchored tail probes; spans > 8 the fori
+    middle; a wide level (W=200) overflows structurally at row wraps.
+    All must match the XLA oracle for the forward AND all three grads.
+
+    NOTE inputs are passed as jit arguments on purpose: closure-captured
+    inputs become program constants and the XLA branch constant-folds
+    with different numerics (bogus ~60x gloc mismatches)."""
+    import jax.numpy as jnp
+    from pavenet_tpu.ops.pallas.msda import ms_deform_attn_pallas
+
+    rng = np.random.RandomState(7)
+    for SH, B, Q, H, spread in [
+        (((40, 52), (20, 26)), 1, 96, 2, 0.08),   # tail-probe spans
+        (((16, 200),), 1, 64, 2, 0.05),           # wide level, row wraps
+        (((40, 52), (20, 26)), 1, 77, 2, None),   # global -> fori middle
+    ]:
+        L = len(SH)
+        N = sum(h * w for h, w in SH)
+        v = rng.randn(1 * B, N, H, 32).astype(np.float32)
+        if spread is None:
+            loc = (rng.rand(B, Q, H, L, 4, 2) * 1.4 - 0.2)
+        else:
+            loc = (rng.rand(B, Q, H, 1, 1, 2)
+                   + rng.randn(B, Q, H, L, 4, 2) * spread)
+        loc = loc.astype(np.float32)
+        w = rng.rand(B, Q, H, L, 4).astype(np.float32)
+        w /= w.reshape(B, Q, H, -1).sum(-1).reshape(B, Q, H, 1, 1)
+        g = rng.randn(B, Q, H * 32).astype(np.float32)
+
+        @jax.jit
+        def diff(v, loc, w, g):
+            def pair(fn):
+                out, vjp = jax.vjp(lambda *a: fn(a[0], SH, a[1], a[2]),
+                                   v, loc, w)
+                return (out,) + vjp(g)
+            outs_p = pair(ms_deform_attn_pallas)
+            outs_x = pair(ms_deform_attn_xla)
+            return [jnp.max(jnp.abs(a - b)) for a, b in zip(outs_p, outs_x)]
+
+        errs = [float(e) for e in diff(v, loc, w, g)]
+        for name, e in zip(("out", "gval", "gloc", "gattn"), errs):
+            assert e < 5e-4, (SH, spread, name, errs)

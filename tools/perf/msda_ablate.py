@@ -9,6 +9,7 @@ Each variant removes one piece of the per-chunk work (results become wrong
   statict  — probe static tiles 0..3 (no SMEM window read / dynamic addr)
   notail   — drop the hoisted overflow tail entirely
   noout    — skip the out_ref update (accumulate into a dummy)
+  noload   — load ONE tile per chunk, probe it 4x (isolates VMEM loads)
 
 Run: python tools/perf/msda_ablate.py [--abl full,nomxu,...] [--iters 11]
 """
@@ -54,9 +55,10 @@ def build_forward(abl: str):
             tmin = tmin_ref[0, l, cblk, c]
 
             acc = jnp.zeros((D, LANE), jnp.float32)
+            tile0 = val_ref[0, tmin] if abl == "noload" else None
             for k in range(SP):
                 t = k if abl == "statict" else tmin + k
-                tile = val_ref[0, t]
+                tile = tile0 if abl == "noload" else val_ref[0, t]
                 if abl == "nolookup":
                     acc = acc + tile.astype(jnp.float32)
                 else:
@@ -78,7 +80,7 @@ def build_forward(abl: str):
             else:
                 out_ref[0, 0:QPC, :] += part
 
-        if abl not in ("notail", "statict"):
+        if abl not in ("notail", "statict", "noload"):
             block_overflow = jnp.zeros((), jnp.int32)
             for c in range(CB):
                 block_overflow = jnp.maximum(
