@@ -196,11 +196,18 @@ def _build_inspose(cfg, train_cfg, test_cfg, dtype):
         num_keypoints=head.get("num_keypoints", 17),
         backbone_depth=backbone.get("depth", 50),
         feat_channels=head.get("feat_channels", 256),
-        stacked_convs=head.get("stacked_convs", 3),
+        feat_channels_kpt=head.get("feat_channels_kpt", 512),
+        feat_channels_hm=head.get("feat_channels_hm", 512),
+        stacked_convs=head.get("stacked_convs", 4),
+        stacked_convs_kpt=head.get("stacked_convs_kpt", 4),
+        stacked_convs_hm=head.get("stacked_convs_hm", 3),
+        with_hm=head.get("with_hm_loss", True),
+        strides=tuple(head.get("strides", (8, 16, 32, 64, 128))),
         center_sampling=head.get("center_sampling", False),
         center_sample_radius=head.get("center_sample_radius", 1.5),
         loss_cls_weight=_loss_weight(head, "loss_cls", 1.0),
         loss_hm_weight=_loss_weight(head, "loss_hm", 1.0),
+        score_thr=(test_cfg or {}).get("score_thr", 0.05),
         max_per_img=(test_cfg or {}).get("max_per_img", 100),
         dtype=dtype)
 

@@ -40,6 +40,7 @@ def _fcn_splits(num_keypoints):
 
 
 class ConvGN(nn.Module):
+    """ConvModule(conv 3x3 no-bias -> GN -> ReLU), mmcv default order."""
     features: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
@@ -48,8 +49,21 @@ class ConvGN(nn.Module):
     def __call__(self, x):
         x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2,
                     use_bias=False, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
+
+
+# star-DCN keypoint selection for the 3x3 kernel taps (reference
+# ``inspose_head.py:344-347``): nose, shoulders, wrists, hips, ankles
+STAR_KPT_IDX_K17 = (0, 5, 6, 9, 10, 11, 12, 15, 16)
+
+
+def _upsample2x_bilinear(x):
+    """F.interpolate(scale_factor=2, mode='bilinear', align_corners=False)
+    (reference hm branch, ``inspose_head.py:291``)."""
+    B, h, w, C = x.shape
+    return jax.image.resize(x, (B, 2 * h, 2 * w, C), method="linear")
 
 
 class DeformConvGN(nn.Module):
@@ -88,22 +102,38 @@ class DeformConvGN(nn.Module):
         patches = jnp.stack(taps, 2).reshape(B, h * w, 9 * C)
         y = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
                      name="kernel")(patches).reshape(B, h, w, self.features)
-        y = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(y)
+        y = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         dtype=self.dtype)(y)
         return nn.relu(y)
 
 
 class InsPoseDetector(nn.Module):
-    """InsPose R50 (reference ``configs/inspose/inspose_r50_fpn_...``)."""
+    """InsPose R50 (reference ``configs/inspose/inspose_r50_8x4_3x_coco.py``
+    + ``opera/models/dense_heads/inspose_head.py``).
+
+    Architecture mirrors the reference for checkpoint compatibility: mmdet
+    FPN (start_level=1, 5 outs, extra convs on output), cls/ctrl towers of
+    ``stacked_convs`` ConvGN at ``feat_channels``, a kpt tower of
+    ``stacked_convs_kpt`` at ``feat_channels_kpt``, a shared tower of
+    4x``shared_channels`` + an 8-channel GN(2) tail, and (``with_hm``) a
+    heatmap tower at ``feat_channels_hm`` whose last conv runs after a
+    bilinear x2 upsample, feeding hm/ae/short-range-offset preds.
+    """
     num_classes: int = 1
     num_keypoints: int = 17
     max_gt: int = 30
     backbone_depth: int = 50
     feat_channels: int = 256
-    shared_channels: int = 256
-    stacked_convs: int = 3
-    strides: Tuple[int, ...] = (8, 16, 32)
+    feat_channels_kpt: int = 512
+    feat_channels_hm: int = 512
+    shared_channels: int = 128
+    stacked_convs: int = 4
+    stacked_convs_kpt: int = 4
+    stacked_convs_hm: int = 3
+    with_hm: bool = True
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
     regress_ranges: Tuple[Tuple[float, float], ...] = (
-        (-1, 96), (96, 192), (192, 1e8))
+        (-1, 64), (64, 128), (128, 256), (256, 512), (512, 1e8))
     max_per_img: int = 100
     # inference suppression (reference test cfg
     # ``configs/inspose/inspose_r50_8x4_3x_coco.py:59-64``)
@@ -111,7 +141,7 @@ class InsPoseDetector(nn.Module):
     score_thr: float = 0.05
     # assignment (reference head defaults False/1.5; the production
     # config enables center sampling, cfg ``:35-36``)
-    center_sampling: bool = False
+    center_sampling: bool = True
     center_sample_radius: float = 1.5
     loss_cls_weight: float = 1.0
     loss_offset_weight: float = 1.0
@@ -119,27 +149,29 @@ class InsPoseDetector(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        from ..necks.fpn import FPN
         self.backbone = ResNet(depth=self.backbone_depth,
-                               out_indices=(1, 2, 3), dtype=self.dtype,
+                               out_indices=(0, 1, 2, 3), dtype=self.dtype,
                                name="backbone")
-        # simple FPN-ish lateral mapping (reference uses mmdet FPN)
-        self.laterals = [nn.Conv(self.feat_channels, (1, 1),
-                                 dtype=self.dtype, name=f"lateral{i}")
-                         for i in range(3)]
+        self.neck = FPN(out_channels=self.feat_channels, start_level=1,
+                        num_outs=len(self.strides), dtype=self.dtype,
+                        name="neck")
         self.cls_tower = [ConvGN(self.feat_channels, dtype=self.dtype,
                                  name=f"cls_tower{i}")
                           for i in range(self.stacked_convs)]
         self.ctrl_tower = [ConvGN(self.feat_channels, dtype=self.dtype,
                                   name=f"ctrl_tower{i}")
                            for i in range(self.stacked_convs)]
-        self.kpt_tower = [ConvGN(self.feat_channels, dtype=self.dtype,
+        self.kpt_tower = [ConvGN(self.feat_channels_kpt, dtype=self.dtype,
                                  name=f"kpt_tower{i}")
-                          for i in range(self.stacked_convs)]
+                          for i in range(self.stacked_convs_kpt)]
+        # shared tower: 4 ConvGN + an 8-channel ConvGN(groups=2) tail
+        # (reference ``_init_layers``: shared_convs[4] has GN(2)+ReLU)
         self.shared_tower = [ConvGN(self.shared_channels, dtype=self.dtype,
                                     name=f"shared_tower{i}")
                              for i in range(4)]
-        self.shared_out = nn.Conv(8, (3, 3), padding=[(1, 1)] * 2,
-                                  dtype=self.dtype, name="shared_out")
+        self.shared_out = ConvGN(8, groups=2, dtype=self.dtype,
+                                 name="shared_out")
         bias_init = nn.initializers.constant(
             float(-math.log((1 - 0.01) / 0.01)))
         self.conv_cls = nn.Conv(self.num_classes, (3, 3),
@@ -155,13 +187,46 @@ class InsPoseDetector(nn.Module):
                                      name="cls_star")
         self.ctr_star = DeformConvGN(self.feat_channels, dtype=self.dtype,
                                      name="ctr_star")
+        if self.with_hm:
+            self.hm_tower = [ConvGN(self.feat_channels_hm, dtype=self.dtype,
+                                    name=f"hm_tower{i}")
+                             for i in range(self.stacked_convs_hm)]
+            hm_bias = nn.initializers.constant(
+                float(-math.log((1 - 0.1) / 0.1)))
+            self.hm_pred = nn.Conv(self.num_keypoints, (3, 3),
+                                   padding=[(1, 1)] * 2, bias_init=hm_bias,
+                                   dtype=self.dtype, name="hm_pred")
+            self.ae_pred = nn.Conv(self.num_keypoints, (3, 3),
+                                   padding=[(1, 1)] * 2, dtype=self.dtype,
+                                   name="ae_pred")
+            self.hm_offset = nn.Conv(2 * self.num_keypoints, (3, 3),
+                                     padding=[(1, 1)] * 2, dtype=self.dtype,
+                                     name="hm_offset")
+
+    def _star_offsets(self, offset):
+        """Reference ``star_dcn_offset`` (``inspose_head.py:327-349``):
+        gradient-scaled keypoint offsets, (dx,dy) -> (dy,dx), 9 selected
+        keypoints minus the 3x3 kernel base positions.  ``DeformConvGN``
+        adds the base back, so the net sampling point is exactly
+        p0 + keypoint_offset."""
+        B, h, w, _ = offset.shape
+        K = self.num_keypoints
+        gm = 0.1
+        o = jax.lax.stop_gradient(offset) * (1 - gm) + offset * gm
+        o = o.reshape(B, h, w, K, 2)[..., ::-1]          # (dx,dy)->(dy,dx)
+        sel = STAR_KPT_IDX_K17 if K == 17 else tuple(range(9))
+        o = o[:, :, :, jnp.asarray(sel)].reshape(B, h, w, 18)
+        ky, kx = jnp.meshgrid(jnp.arange(-1.0, 2), jnp.arange(-1.0, 2),
+                              indexing="ij")
+        base = jnp.stack([ky.reshape(-1), kx.reshape(-1)], -1).reshape(18)
+        return o - base.astype(o.dtype)
 
     # -------------------------------------------------------------- levels
     def forward_levels(self, img):
-        feats = self.backbone(img)
-        feats = [lat(f) for lat, f in zip(self.laterals, feats)]
+        feats = self.neck(self.backbone(img))
         outs = []
         shared = None
+        hm_feats = None
         for lvl, x in enumerate(feats):
             c = x
             for m in self.cls_tower:
@@ -173,16 +238,11 @@ class InsPoseDetector(nn.Module):
             for m in self.kpt_tower:
                 k = m(k)
             offset = self.kpt_offset(k)          # (B,h,w,2K) feature cells
-            # star-dcn offsets from 9 of the K keypoint offsets
-            # (reference ``star_dcn_offset:327``: gradient-scaled keypoint
-            # offsets reshaped onto the 3x3 kernel taps)
-            star = jax.lax.stop_gradient(offset[..., :18]) * 0.9 \
-                + offset[..., :18] * 0.1
-            c = self.cls_star(c, star)
-            t = self.ctr_star(t, star)
-            ct = jnp.concatenate([c, t], -1)
-            cls_score = self.conv_cls(ct)
-            dyn = self.controller(ct)
+            star = self._star_offsets(offset)
+            c_star = self.cls_star(c, star)
+            t_star = self.ctr_star(t, star)
+            cls_score = self.conv_cls(jnp.concatenate([c, c_star], -1))
+            dyn = self.controller(jnp.concatenate([t, t_star], -1))
             outs.append(dict(cls=cls_score, dyn=dyn, offset=offset,
                              shape=x.shape[1:3]))
             if lvl == 0:
@@ -190,7 +250,15 @@ class InsPoseDetector(nn.Module):
                 for m in self.shared_tower:
                     s = m(s)
                 shared = self.shared_out(s)      # (B, h0, w0, 8)
-        return outs, shared
+                if self.with_hm:
+                    hs = x
+                    for m in self.hm_tower[:-1]:
+                        hs = m(hs)
+                    hs = self.hm_tower[-1](_upsample2x_bilinear(hs))
+                    hm_feats = dict(hm=self.hm_pred(hs),
+                                    ae=self.ae_pred(hs),
+                                    offset=self.hm_offset(hs))
+        return outs, shared, hm_feats
 
     @staticmethod
     def level_points(shape, stride):
@@ -301,7 +369,7 @@ class InsPoseDetector(nn.Module):
         img = batch["img"]
         B = img.shape[0]
         K = self.num_keypoints
-        outs, shared = self.forward_levels(img)
+        outs, shared, hm_feats = self.forward_levels(img)
         cls_s, dyn_s, off_s, points, strides_flat = self._flatten_levels(
             outs)
 
@@ -375,7 +443,7 @@ class InsPoseDetector(nn.Module):
         img = batch["img"]
         B = img.shape[0]
         K = self.num_keypoints
-        outs, shared = self.forward_levels(img)
+        outs, shared, hm_feats = self.forward_levels(img)
         cls_s, dyn_s, off_s, points, strides_flat = self._flatten_levels(
             outs)
         scores = jax.nn.sigmoid(cls_s)[..., 0]           # (B, N)

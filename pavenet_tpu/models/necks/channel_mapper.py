@@ -29,7 +29,8 @@ class ChannelMapper(nn.Module):
                         (self.kernel_size, self.kernel_size),
                         padding=[(pad, pad)] * 2, use_bias=False,
                         dtype=self.dtype, name=f"conv{i}")(x)
-            y = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype,
+            y = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                             dtype=self.dtype,
                              name=f"gn{i}")(y)
             outs.append(y)
         x = inputs[-1]
@@ -37,7 +38,8 @@ class ChannelMapper(nn.Module):
             x = nn.Conv(self.out_channels, (3, 3), strides=(2, 2),
                         padding=[(1, 1)] * 2, use_bias=False,
                         dtype=self.dtype, name=f"extra_conv{j}")(x)
-            x = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype,
+            x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                             dtype=self.dtype,
                              name=f"extra_gn{j}")(x)
             outs.append(x)
         return tuple(outs)

@@ -594,6 +594,89 @@ def convert_soit_state_dict(state_dict: dict,
     return variables
 
 
+def _convgn(sd, prefix):
+    """mmcv ConvModule(conv no-bias + GN) -> ConvGN {Conv_0, GroupNorm_0}."""
+    return {"Conv_0": {"kernel": _conv(sd(f"{prefix}.conv.weight"))},
+            "GroupNorm_0": _norm(sd, f"{prefix}.gn")}
+
+
+def _conv_bias(sd, prefix):
+    return {"kernel": _conv(sd(f"{prefix}.weight")),
+            "bias": sd(f"{prefix}.bias")}
+
+
+def _dcn_gn(sd, conv_prefix, gn_prefix):
+    """DeformConv2d weight (o,i,3,3) -> DeformConvGN Dense kernel
+    (tap*C+i, o) + GroupNorm (see ``detectors/inspose.DeformConvGN``:
+    patches are tap-major, channel-minor)."""
+    w = np.asarray(sd(f"{conv_prefix}.weight"))
+    o, i = w.shape[:2]
+    kernel = w.transpose(2, 3, 1, 0).reshape(9 * i, o)
+    return {"kernel": {"kernel": kernel},
+            "GroupNorm_0": _norm(sd, gn_prefix)}
+
+
+def convert_inspose_state_dict(state_dict: dict,
+                               stacked_convs: int = 4,
+                               stacked_convs_kpt: int = 4,
+                               stacked_convs_hm: int = 3,
+                               with_hm: bool = True,
+                               num_fpn_outs: int = 5,
+                               backbone_depth: int = 50,
+                               strict: bool = False):
+    """Reference InsPose checkpoint -> ``InsPoseDetector`` params.
+
+    Layout from ``opera/models/dense_heads/inspose_head.py:153-258``
+    (cls/ctrl/kpt/shared/hm ConvModule towers, star DeformConv2d+GN pairs,
+    conv_cls/controller/kpt_offset heads) over mmdet ``FPN``
+    (``lateral_convs``/``fpn_convs``, extra convs stored at the tail of
+    ``fpn_convs``)."""
+    sd = _StateDict(state_dict)
+    backbone_p, backbone_s = _resnet(sd, backbone_depth)
+
+    neck = {}
+    n_lat = 3  # start_level=1 on a 4-level ResNet
+    for i in range(n_lat):
+        neck[f"lateral{i}"] = _conv_bias(sd, f"neck.lateral_convs.{i}.conv")
+        neck[f"fpn{i}"] = _conv_bias(sd, f"neck.fpn_convs.{i}.conv")
+    for j in range(num_fpn_outs - n_lat):
+        neck[f"fpn_extra{j}"] = _conv_bias(
+            sd, f"neck.fpn_convs.{n_lat + j}.conv")
+
+    h = {"neck": neck}
+    bh = "bbox_head"
+    for i in range(stacked_convs):
+        h[f"cls_tower{i}"] = _convgn(sd, f"{bh}.cls_convs.{i}")
+        h[f"ctrl_tower{i}"] = _convgn(sd, f"{bh}.ctrl_convs.{i}")
+    for i in range(stacked_convs_kpt):
+        h[f"kpt_tower{i}"] = _convgn(sd, f"{bh}.kpt_convs.{i}")
+    for i in range(4):
+        h[f"shared_tower{i}"] = _convgn(sd, f"{bh}.shared_convs.{i}")
+    h["shared_out"] = _convgn(sd, f"{bh}.shared_convs.4")
+    h["conv_cls"] = _conv_bias(sd, f"{bh}.conv_cls")
+    h["controller"] = _conv_bias(sd, f"{bh}.controller")
+    h["kpt_offset"] = _conv_bias(sd, f"{bh}.kpt_offset")
+    h["cls_star"] = _dcn_gn(sd, f"{bh}.cls_star_conv", f"{bh}.cls_star_gn")
+    h["ctr_star"] = _dcn_gn(sd, f"{bh}.ctr_star_conv", f"{bh}.ctr_star_gn")
+    if with_hm:
+        for i in range(stacked_convs_hm):
+            h[f"hm_tower{i}"] = _convgn(sd, f"{bh}.hm_convs.{i}")
+        h["hm_pred"] = _conv_bias(sd, f"{bh}.hm_pred")
+        h["ae_pred"] = _conv_bias(sd, f"{bh}.ae_pred")
+        h["hm_offset"] = _conv_bias(sd, f"{bh}.hm_offset")
+
+    params = dict(h)
+    params["backbone"] = backbone_p
+    variables = {"params": params,
+                 "batch_stats": {"backbone": backbone_s}}
+    unused = [k for k in sd.unused()
+              if not k.endswith("num_batches_tracked")]
+    if strict and unused:
+        raise KeyError(f"unconverted reference params: {unused[:20]}")
+    variables["_unused_reference_keys"] = unused
+    return variables
+
+
 def load_torch_checkpoint(path: str):
     """Load a torch .pth into a flat numpy state_dict (CPU)."""
     import torch

@@ -11,7 +11,9 @@ from pavenet_tpu.models.detectors.inspose import InsPoseDetector
 def inspose_setup():
     model = InsPoseDetector(
         num_keypoints=17, max_gt=4, backbone_depth=18, feat_channels=32,
-        shared_channels=32, stacked_convs=1, max_per_img=5)
+        feat_channels_kpt=32, feat_channels_hm=32, shared_channels=32,
+        stacked_convs=1, stacked_convs_kpt=1, stacked_convs_hm=1,
+        max_per_img=5)
     rng = np.random.RandomState(0)
     B, H, W, G, K = 1, 64, 96, 4, 17
     boxes = np.zeros((B, G, 4), np.float32)
