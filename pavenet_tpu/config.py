@@ -252,3 +252,74 @@ class DictAction:
             key, _, val = pair.partition("=")
             out[key] = DictAction.parse_value(val)
         return out
+
+
+_VAR_PATTERN = None
+
+
+def replace_cfg_vals(cfg: "Config") -> "Config":
+    """Substitute ``"${key.path}"`` strings with config values (reference:
+    ``mmdet/utils/replace_cfg_vals.py``).  A string that is exactly one
+    ``${...}`` takes the referenced value verbatim (any type); embedded
+    occurrences are str-interpolated.  A ``model_wrapper`` key, if present,
+    replaces ``model`` (same as the reference)."""
+    import re
+    global _VAR_PATTERN
+    if _VAR_PATTERN is None:
+        _VAR_PATTERN = re.compile(r"\$\{[a-zA-Z\d_.]*\}")
+
+    root = cfg._cfg_dict
+
+    def get_value(key):
+        node = root
+        for k in key.split("."):
+            node = node[k]
+        return node
+
+    def replace(value):
+        if isinstance(value, dict):
+            return type(value)(
+                {k: replace(v) for k, v in value.items()})
+        if isinstance(value, list):
+            return [replace(v) for v in value]
+        if isinstance(value, tuple):
+            return tuple(replace(v) for v in value)
+        if isinstance(value, str):
+            keys = _VAR_PATTERN.findall(value)
+            if not keys:
+                return value
+            if len(keys) == 1 and keys[0] == value:
+                return get_value(keys[0][2:-1])
+            for key in keys:
+                sub = get_value(key[2:-1])
+                if isinstance(sub, (dict, list, tuple)):
+                    raise TypeError(
+                        f"cannot str-interpolate {type(sub)} for {key}")
+                value = value.replace(key, str(sub))
+            return value
+        return value
+
+    new = Config(replace(root), filename=cfg.filename)
+    if new.get("model_wrapper") is not None:
+        new["model"] = new["model_wrapper"]
+        del new._cfg_dict["model_wrapper"]
+    return new
+
+
+def update_data_root(cfg: "Config") -> None:
+    """Rewrite dataset paths when env ``MMDET_DATASETS`` is set (reference:
+    ``mmdet/utils/misc.py:45``): every string containing ``cfg.data_root``
+    has that prefix replaced, in place."""
+    dst = os.environ.get("MMDET_DATASETS")
+    if not dst or "data_root" not in cfg:
+        return
+    src = cfg["data_root"]
+
+    def walk(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                walk(v)
+            elif isinstance(v, str) and src in v:
+                d[k] = v.replace(src, dst)
+    walk(cfg._cfg_dict)
+    cfg["data_root"] = dst

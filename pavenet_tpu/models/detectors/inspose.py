@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..backbones.resnet import ResNet
-from ..losses.focal_loss import sigmoid_focal_loss
+from ..losses.focal_loss import varifocal_loss
 from ...ops.ms_deform_attn import ms_deform_attn
 
 # controller parameter layout (reference ``kpt_fcn_head``: 10->8->8->K)
@@ -268,11 +268,14 @@ class InsPoseDetector(nn.Module):
         yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
         return jnp.stack([xx, yy], -1).reshape(-1, 2)
 
-    def dynamic_heatmaps(self, dyn_params, shared, centers, stride=8):
+    def dynamic_heatmaps(self, dyn_params, shared, centers, normalize=None,
+                         stride=8):
         """Per-instance keypoint heatmaps from dynamic FCN params.
 
         dyn_params (B, M, 313); shared (B, h0, w0, 8); centers (B, M, 2)
-        absolute xy. Returns (B, M, h0, w0, K) logits.
+        absolute xy; normalize (B, M) per-instance coord-map scale
+        (reference ``get_coord_map`` is called with ``2**lvl * 64`` for a
+        location on FPN level ``lvl``).  Returns (B, M, h0, w0, K) logits.
         """
         B, h0, w0, _ = shared.shape
         K = self.num_keypoints
@@ -281,10 +284,12 @@ class InsPoseDetector(nn.Module):
         o = _np.cumsum([0, c1w, c1b, c2w, c2b, c3w, c3b]).tolist()
         ys = (jnp.arange(h0, dtype=jnp.float32) + 0.0) * stride + stride // 2
         xs = (jnp.arange(w0, dtype=jnp.float32) + 0.0) * stride + stride // 2
+        if normalize is None:
+            normalize = jnp.full(centers.shape[:2], 64.0, jnp.float32)
 
-        def per_inst(p, center, feat):
-            cm_x = (xs[None, :] - center[0]) / 128.0
-            cm_y = (ys[:, None] - center[1]) / 128.0
+        def per_inst(p, center, norm, feat):
+            cm_x = (xs[None, :] - center[0]) / norm
+            cm_y = (ys[:, None] - center[1]) / norm
             cm = jnp.stack([jnp.broadcast_to(cm_x, (h0, w0)),
                             jnp.broadcast_to(cm_y, (h0, w0))], -1)
             x = jnp.concatenate([feat, cm], -1)          # (h0, w0, 10)
@@ -298,9 +303,9 @@ class InsPoseDetector(nn.Module):
             x = nn.relu(x @ w2.T + b2)
             return x @ w3.T + b3                          # (h0, w0, K)
 
-        return jax.vmap(lambda ps, cs, f: jax.vmap(
-            lambda p, c: per_inst(p, c, f))(ps, cs))(
-                dyn_params, centers, shared)
+        return jax.vmap(lambda ps, cs, ns, f: jax.vmap(
+            lambda p, c, n: per_inst(p, c, n, f))(ps, cs, ns))(
+                dyn_params, centers, normalize, shared)
 
     # ---------------------------------------------------------------- train
     def __call__(self, batch, train: bool = False):
@@ -365,7 +370,35 @@ class InsPoseDetector(nn.Module):
         pos = area_mat.min(-1) < big
         return jnp.where(pos, gt_idx, -1), pos           # (N,), (N,)
 
+    def _compute_oks(self, pred_cells, gt_cells, gt_areas):
+        """Reference ``compute_oks`` (``inspose_head.py:554-570``) on /8
+        cell coordinates, vectorized over padded GT slots; ``gt_areas`` is
+        the full-resolution instance area (the reference uses the gt mask
+        area; box area is the surrogate here — no masks in the batch)."""
+        from ..losses.oks_loss import OKS_SIGMAS
+        sig = jnp.asarray(OKS_SIGMAS[self.num_keypoints], jnp.float32)
+        var = (sig * 2) ** 2
+        valid = gt_cells[..., 2] > 0                       # (B, G, K)
+        d2 = ((pred_cells[..., 0] - gt_cells[..., 0]) ** 2
+              + (pred_cells[..., 1] - gt_cells[..., 1]) ** 2)
+        e = d2 / var / (gt_areas[..., None] + 1e-4) / 2
+        sim = jnp.where(valid, jnp.exp(-e), 0.0)
+        return sim.sum(-1) / jnp.maximum(valid.sum(-1), 1)  # (B, G)
+
     def forward_train(self, batch):
+        """Training losses mirroring the reference ``loss()``
+        (``inspose_head.py:351-553``): VarifocalLoss with OKS-quality
+        targets, softmax cross-entropy over the dynamic instance heatmap
+        at the gt keypoint cell, stride-normalized L1 keypoint offsets,
+        and (``with_hm``) the stride-4 heatmap branch losses
+        (CenterFocal + associative-embedding pull/push + short-range
+        offset L1, ``heatmap_ae_offset_loss:929``).
+
+        TPU deviation (documented): the dynamic-FCN terms use ONE
+        controller per gt (sampled at the gt center's level-0 cell) on
+        padded gt slots instead of the reference's python loop over every
+        positive location — same supervision signal, static shapes.
+        """
         img = batch["img"]
         B = img.shape[0]
         K = self.num_keypoints
@@ -379,33 +412,11 @@ class InsPoseDetector(nn.Module):
         assign = jax.vmap(lambda b, v: self._assign(
             points, strides_flat, b, v))(gt_boxes, gt_valid)
         gt_idx, pos = assign                             # (B, N)
-
-        labels = jnp.where(pos, 0, self.num_classes)
-        num_pos = jnp.maximum(pos.sum().astype(jnp.float32), 1.0)
+        num_pos = pos.sum().astype(jnp.float32)
         losses = {}
-        losses["loss_cls"] = sigmoid_focal_loss(
-            cls_s.reshape(-1, self.num_classes), labels.reshape(-1),
-            avg_factor=num_pos) * self.loss_cls_weight
 
-        # keypoint offset regression at positive points (normalized by
-        # stride, reference ``keypoint_target:924``)
-        safe = jnp.maximum(gt_idx, 0)
-        tgt_k = jnp.take_along_axis(
-            gt_kpts, safe[..., None, None], axis=1)      # (B, N, K, 3)
-        vis = (tgt_k[..., 2] > 0) & pos[..., None]
-        tgt_off = (tgt_k[..., :2] - points[None, :, None, :]) \
-            / strides_flat[None, :, None, None]
-        pred_off = off_s.reshape(B, -1, K, 2)
-        nvis = jnp.maximum(vis.sum().astype(jnp.float32) * 2, 1.0)
-        losses["loss_offset"] = (jnp.abs(pred_off - tgt_off)
-                                 * vis[..., None]).sum() / nvis \
-            * self.loss_offset_weight
-
-        # per-instance dynamic heatmaps on padded GT slots: supervise with
-        # per-keypoint gaussians (focal-bce as in CondInst-style heads)
+        # ---- dynamic instance heatmaps (one controller per gt slot)
         G = gt_boxes.shape[1]
-        # controller params from the gt's assigned best point: use the
-        # closest point to the gt center on level 0
         centers = (gt_boxes[..., :2] + gt_boxes[..., 2:]) / 2   # (B, G, 2)
         h0, w0 = outs[0]["shape"]
         n0 = h0 * w0
@@ -415,28 +426,194 @@ class InsPoseDetector(nn.Module):
                       0, h0 - 1)
         pt_idx = cy * w0 + cx                            # (B, G)
         dyn = jnp.take_along_axis(dyn_s[:, :n0], pt_idx[..., None], axis=1)
+        # controller points live on level 0 -> coord normalize 2^0*64
         hm = self.dynamic_heatmaps(dyn, shared, centers)  # (B,G,h0,w0,K)
-        # gaussian targets at stride 8
-        ys = (jnp.arange(h0, dtype=jnp.float32) * self.strides[0]
-              + self.strides[0] / 2)
-        xs = (jnp.arange(w0, dtype=jnp.float32) * self.strides[0]
-              + self.strides[0] / 2)
-        d2 = ((ys[None, None, :, None, None] - gt_kpts[..., 1][:, :, None,
-                                                              None, :]) ** 2
-              + (xs[None, None, None, :, None]
-                 - gt_kpts[..., 0][:, :, None, None, :]) ** 2)
-        sigma2 = (2 * (self.strides[0] * 1.0) ** 2)
-        tgt_hm = jnp.exp(-d2 / sigma2)
-        kvis = ((gt_kpts[..., 2] > 0)
-                & gt_valid[..., None])[:, :, None, None, :]
-        tgt_hm = jnp.where(kvis, tgt_hm, 0.0)
-        p = jnp.clip(jax.nn.sigmoid(hm), 1e-6, 1 - 1e-6)
-        bce = -(tgt_hm * jnp.log(p) + (1 - tgt_hm) * jnp.log(1 - p))
-        wmask = gt_valid[..., None, None, None].astype(jnp.float32)
-        losses["loss_hm"] = (bce * wmask).sum() / jnp.maximum(
-            (wmask * jnp.ones_like(bce)).sum(), 1.0) * self.loss_hm_weight
+
+        # loss_keypoint: softmax cross-entropy over the h0*w0 cells at the
+        # gt keypoint cell (reference ``:469-474``: F.cross_entropy of the
+        # flattened heatmap against y*W + x of floor(gt/8))
+        gt_cells = jnp.concatenate(
+            [jnp.floor(gt_kpts[..., :2] / self.strides[0]),
+             gt_kpts[..., 2:]], -1)
+        cell_x = jnp.clip(gt_cells[..., 0].astype(jnp.int32), 0, w0 - 1)
+        cell_y = jnp.clip(gt_cells[..., 1].astype(jnp.int32), 0, h0 - 1)
+        tgt_cell = cell_y * w0 + cell_x                  # (B, G, K)
+        logp = jax.nn.log_softmax(
+            hm.reshape(B, G, n0, K).transpose(0, 1, 3, 2), axis=-1)
+        picked = jnp.take_along_axis(logp, tgt_cell[..., None],
+                                     axis=-1)[..., 0]   # (B, G, K)
+        kvalid = ((gt_kpts[..., 2] > 0) & gt_valid[..., None]).astype(
+            jnp.float32)
+        n_kp = kvalid.sum()
+        losses["loss_keypoint"] = -(picked * kvalid).sum() \
+            / jnp.maximum(n_kp, 1.0)
+
+        # loss_cls: VarifocalLoss, target = decoded-pose OKS at positives
+        # (reference ``:480-523``; unvisible_weight for gts with no valid
+        # keypoint)
+        flat = hm.reshape(B, G, n0, K)
+        am = flat.argmax(2)                              # (B, G, K)
+        pred_cells = jnp.stack(
+            [(am % w0).astype(jnp.float32),
+             (am // w0).astype(jnp.float32)], -1)
+        areas = ((gt_boxes[..., 2] - gt_boxes[..., 0])
+                 * (gt_boxes[..., 3] - gt_boxes[..., 1]))
+        oks = jax.lax.stop_gradient(
+            self._compute_oks(pred_cells, gt_cells, areas))  # (B, G)
+        has_valid = (gt_kpts[..., 2] > 0).any(-1)
+        gt_weight = jnp.where(has_valid, oks, 0.1)       # unvisible_weight
+        safe = jnp.maximum(gt_idx, 0)
+        point_w = jnp.take_along_axis(gt_weight, safe, axis=1)
+        target_score = jnp.where(pos, point_w, 0.0)      # (B, N)
+        losses["loss_cls"] = varifocal_loss(
+            cls_s.reshape(-1, self.num_classes),
+            target_score.reshape(-1, 1),
+            avg_factor=num_pos + B) * self.loss_cls_weight
+
+        # loss_keypoint_reg: stride-normalized L1 at positive points
+        # (reference ``keypoint_target:924`` + ``:500-516``)
+        tgt_k = jnp.take_along_axis(
+            gt_kpts, safe[..., None, None], axis=1)      # (B, N, K, 3)
+        vis = (tgt_k[..., 2] > 0) & pos[..., None]
+        tgt_off = (tgt_k[..., :2] - points[None, :, None, :]) \
+            / strides_flat[None, :, None, None]
+        pred_off = off_s.reshape(B, -1, K, 2)
+        nvis = jnp.maximum(vis.sum().astype(jnp.float32) * 2, 1.0)
+        losses["loss_keypoint_reg"] = (jnp.abs(pred_off - tgt_off)
+                                       * vis[..., None]).sum() / nvis \
+            * self.loss_offset_weight
+
+        if self.with_hm:
+            losses.update(self._heatmap_ae_offset_losses(
+                hm_feats, gt_kpts, gt_boxes, gt_valid))
         losses["loss"] = sum(losses.values())
         return losses
+
+    def _heatmap_ae_offset_losses(self, hm_feats, gt_kpts, gt_boxes,
+                                  gt_valid, min_overlap_hm=0.9,
+                                  max_hm_radius=3.0, min_overlap_kp=0.9,
+                                  max_offset_radius=3.0, ae_weight=1.0):
+        """Stride-4 heatmap branch losses (reference
+        ``heatmap_ae_offset_loss``, ``inspose_head.py:929-1026``):
+        CenterFocal on gaussian-splatted per-keypoint heatmaps,
+        associative-embedding pull/push on the tag map at keypoint cells
+        (incl. the reference's off-by-one ``gt_kp_int - 1`` indexing,
+        kept for checkpoint behavioral parity), and nearest-keypoint
+        short-range offset L1 (``draw_short_range_offset``)."""
+        from ..losses.focal_loss import center_focal_loss
+        hm_p = hm_feats["hm"]                            # (B, h4, w4, K)
+        ae_p = hm_feats["ae"]
+        off_p = hm_feats["offset"]                       # (B, h4, w4, 2K)
+        B, h4, w4, K = hm_p.shape
+        G = gt_boxes.shape[1]
+
+        kp4 = gt_kpts[..., :2] / 4.0                     # (B, G, K, 2)
+        kvalid = (gt_kpts[..., 2] > 0) & gt_valid[..., None]
+        bw = (gt_boxes[..., 2] - gt_boxes[..., 0]) / 4.0
+        bh = (gt_boxes[..., 3] - gt_boxes[..., 1]) / 4.0
+
+        def in_jit_radius(h, w, min_overlap):
+            # the reference's gaussian_radius (``opera/core/keypoint/
+            # transforms.py:39-61`` — the ORIGINAL CornerNet formula with
+            # all three roots divided by 2, not 2a; kept bug-for-bug)
+            b1 = h + w
+            c1 = w * h * (1 - min_overlap) / (1 + min_overlap)
+            sq1 = jnp.sqrt(jnp.maximum(b1 ** 2 - 4 * c1, 0.0))
+            r1 = (b1 + sq1) / 2
+            b2 = 2 * (h + w)
+            c2 = (1 - min_overlap) * w * h
+            sq2 = jnp.sqrt(jnp.maximum(b2 ** 2 - 16 * c2, 0.0))
+            r2 = (b2 + sq2) / 2
+            b3 = -2 * min_overlap * (h + w)
+            c3 = (min_overlap - 1) * w * h
+            sq3 = jnp.sqrt(jnp.maximum(
+                b3 ** 2 - 16 * min_overlap * c3, 0.0))
+            r3 = (b3 + sq3) / 2
+            return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+        r_hm = jnp.clip(jnp.floor(in_jit_radius(bh, bw, min_overlap_hm)),
+                        0.0, max_hm_radius)              # (B, G)
+        r_off = jnp.clip(jnp.floor(in_jit_radius(bh, bw, min_overlap_kp)),
+                         0.0, max_offset_radius)
+
+        xs = jnp.arange(w4, dtype=jnp.float32)
+        ys = jnp.arange(h4, dtype=jnp.float32)
+        kp_int = jnp.floor(kp4)                          # (B, G, K, 2)
+        dxc = xs[None, None, None, :] - kp_int[..., 0][..., None]
+        dyc = ys[None, None, None, :] - kp_int[..., 1][..., None]
+        # (B, G, K, h4, w4) distances from each keypoint's int cell
+        dx2 = dxc[:, :, :, None, :] ** 2
+        dy2 = dyc[:, :, :, :, None] ** 2
+        inbox = ((jnp.abs(dxc[:, :, :, None, :])
+                  <= r_hm[..., None, None, None])
+                 & (jnp.abs(dyc[:, :, :, :, None])
+                    <= r_hm[..., None, None, None]))
+        sigma = (2 * r_hm + 1) / 6.0                     # umich gaussian
+        g = jnp.exp(-(dx2 + dy2)
+                    / (2 * sigma[..., None, None, None] ** 2 + 1e-12))
+        g = jnp.where(inbox & kvalid[..., None, None], g, 0.0)
+        hm_target = g.max(1).transpose(0, 2, 3, 1)       # (B, h4, w4, K)
+        p = jnp.clip(jax.nn.sigmoid(hm_p), 1e-4, 1 - 1e-4)
+        loss_hm = center_focal_loss(p, hm_target) * self.loss_hm_weight
+
+        # short-range offsets: exact (subpixel) gt minus cell index,
+        # nearest keypoint wins inside the radius box
+        ox = kp4[..., 0][..., None] - (
+            kp_int[..., 0][..., None] + dxc)             # (B,G,K,w4)
+        oy = kp4[..., 1][..., None] - (kp_int[..., 1][..., None] + dyc)
+        d2o = (ox[:, :, :, None, :] ** 2 + oy[:, :, :, :, None] ** 2)
+        inbox_o = ((jnp.abs(dxc[:, :, :, None, :])
+                    <= r_off[..., None, None, None])
+                   & (jnp.abs(dyc[:, :, :, :, None])
+                      <= r_off[..., None, None, None])
+                   & kvalid[..., None, None])
+        d2o = jnp.where(inbox_o, d2o, jnp.inf)
+        best = d2o.argmin(1)                             # (B, K, h4, w4)
+        anyhit = jnp.isfinite(d2o.min(1))
+        ox_b = jnp.take_along_axis(
+            jnp.broadcast_to(ox[:, :, :, None, :],
+                             d2o.shape), best[:, None], axis=1)[:, 0]
+        oy_b = jnp.take_along_axis(
+            jnp.broadcast_to(oy[:, :, :, :, None],
+                             d2o.shape), best[:, None], axis=1)[:, 0]
+        mask = anyhit.astype(jnp.float32)                # (B, K, h4, w4)
+        tgt = jnp.stack([ox_b, oy_b], 2)                 # (B, K, 2, h4, w4)
+        tgt = jnp.where(mask[:, :, None] > 0, tgt, 0.0)
+        pred = off_p.transpose(0, 3, 1, 2).reshape(B, K, 2, h4, w4)
+        m2 = jnp.repeat(mask[:, :, None], 2, 2)
+        loss_hm_offset = (jnp.abs(pred * m2 - tgt * m2)).sum() \
+            / (m2.sum() + 1e-4)
+
+        # associative embedding pull/push on the tag map (reference's
+        # gt_kp_int - 1 indexing replicated via torch-style wraparound)
+        tx = jnp.mod(kp_int[..., 0].astype(jnp.int32) - 1, w4)
+        ty = jnp.mod(kp_int[..., 1].astype(jnp.int32) - 1, h4)
+        flat_idx = ty * w4 + tx                          # (B, G, K)
+        ae_flat = ae_p.reshape(B, h4 * w4, K)
+        tags_k = jnp.take_along_axis(
+            ae_flat.transpose(0, 2, 1), flat_idx.transpose(0, 2, 1),
+            axis=-1).transpose(0, 2, 1)                  # (B, G, K)
+        kv = kvalid.astype(jnp.float32)
+        nk = kv.sum(-1)                                  # (B, G)
+        tag_mean = (tags_k * kv).sum(-1) / jnp.maximum(nk, 1.0)
+        inst_ok = nk > 0                                 # (B, G)
+        pull_g = ((tags_k - tag_mean[..., None]) ** 2 * kv).sum(-1) \
+            / jnp.maximum(nk, 1.0)
+        n_tags = inst_ok.sum(-1).astype(jnp.float32)     # (B,)
+        pull = jnp.where(n_tags > 0,
+                         (pull_g * inst_ok).sum(-1) / jnp.maximum(
+                             n_tags, 1.0), 0.0)
+        diff = tag_mean[:, :, None] - tag_mean[:, None, :]
+        pairm = (inst_ok[:, :, None] & inst_ok[:, None, :]).astype(
+            jnp.float32)
+        push_m = (jnp.exp(-diff ** 2) * pairm).sum((-1, -2)) - n_tags
+        push = jnp.where(n_tags > 1,
+                         push_m / jnp.maximum(
+                             n_tags * (n_tags - 1) * 2, 1.0), 0.0)
+        return {"loss_heatmap": loss_hm,
+                "loss_ae_pull": ae_weight * pull.mean(),
+                "loss_ae_push": ae_weight * push.mean(),
+                "loss_heatmap_offset": loss_hm_offset}
 
     # ---------------------------------------------------------------- test
     def forward_test(self, batch):
@@ -456,8 +633,11 @@ class InsPoseDetector(nn.Module):
         kpts = pts[:, :, None, :] + off.reshape(
             B, self.max_per_img, K, 2) * strd[..., None, None]
         # refine x/y by the dynamic heatmap argmax (reference decodes from
-        # the instance heatmap; we fuse both estimates)
-        hm = self.dynamic_heatmaps(dyn, shared, pts)     # (B,M,h0,w0,K)
+        # the instance heatmap; we fuse both estimates).  Coord-map
+        # normalize is level-dependent: 2^lvl * 64 = 8 * stride_lvl
+        # (reference ``get_coord_map`` call sites)
+        norm = strd * (64.0 / self.strides[0])
+        hm = self.dynamic_heatmaps(dyn, shared, pts, normalize=norm)
         h0, w0 = hm.shape[2:4]
         flat = hm.reshape(B, self.max_per_img, h0 * w0, K)
         am = flat.argmax(2)

@@ -55,3 +55,22 @@ def center_focal_loss(pred: jnp.ndarray, gt: jnp.ndarray,
     total = -(pos_loss.sum() + neg_loss.sum())
     return jnp.where(num_pos > 0, total / jnp.maximum(num_pos, 1.0),
                      -neg_loss.sum())
+
+
+def varifocal_loss(logits: jnp.ndarray, target_score: jnp.ndarray,
+                   gamma: float = 2.0, alpha: float = 0.75,
+                   avg_factor: float | jnp.ndarray = 1.0) -> jnp.ndarray:
+    """VarifocalLoss (reference: ``mmdet/models/losses/varifocal_loss.py``,
+    iou_weighted=True, use_sigmoid=True).
+
+    ``target_score`` is a soft quality score in [0, 1] (InsPose uses the
+    OKS of the decoded pose); positives (> 0) are weighted by the score,
+    negatives by ``alpha * p^gamma``.
+    """
+    p = jax.nn.sigmoid(logits)
+    t = target_score.astype(logits.dtype)
+    pos = (t > 0.0).astype(logits.dtype)
+    focal_weight = t * pos + alpha * jnp.abs(p - t) ** gamma * (1.0 - pos)
+    bce = -(t * jax.nn.log_sigmoid(logits)
+            + (1.0 - t) * jax.nn.log_sigmoid(-logits))
+    return (bce * focal_weight).sum() / avg_factor

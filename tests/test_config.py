@@ -50,3 +50,23 @@ def test_registry_scope_strings():
     assert reg.get("mmdet.Foo") is Foo
     obj = reg.build(dict(type="mmcv.Foo", a=3))
     assert obj.a == 3
+
+
+def test_replace_cfg_vals_and_data_root(tmp_path, monkeypatch):
+    """${key} interpolation (mmdet replace_cfg_vals) + MMDET_DATASETS
+    data-root rewriting (mmdet update_data_root)."""
+    from pavenet_tpu.config import Config, replace_cfg_vals, update_data_root
+    f = tmp_path / "c.py"
+    f.write_text(
+        "num_keypoints = 15\n"
+        "data_root = '/data/posetrack/'\n"
+        "model = dict(head=dict(K='${num_keypoints}',\n"
+        "             name='k${num_keypoints}_head'))\n"
+        "data = dict(train=dict(ann_file=data_root + 'train.json'))\n")
+    cfg = replace_cfg_vals(Config.fromfile(str(f)))
+    assert cfg.model.head.K == 15            # verbatim value, not str
+    assert cfg.model.head.name == "k15_head"  # str interpolation
+    monkeypatch.setenv("MMDET_DATASETS", "/mnt/datasets/")
+    update_data_root(cfg)
+    assert cfg.data.train.ann_file == "/mnt/datasets/train.json"
+    assert cfg.data_root == "/mnt/datasets/"

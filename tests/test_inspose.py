@@ -41,7 +41,10 @@ def inspose_setup():
 def test_inspose_train_losses(inspose_setup):
     model, variables, batch = inspose_setup
     losses = jax.jit(lambda v: model.apply(v, batch, train=True))(variables)
-    assert {"loss", "loss_cls", "loss_offset", "loss_hm"} <= set(losses)
+    # reference loss-dict keys (``inspose_head.py:537-549``)
+    assert {"loss", "loss_cls", "loss_keypoint", "loss_keypoint_reg",
+            "loss_heatmap", "loss_ae_pull", "loss_ae_push",
+            "loss_heatmap_offset"} <= set(losses)
     for k, v in losses.items():
         assert np.isfinite(float(v)), (k, float(v))
 

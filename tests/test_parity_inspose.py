@@ -85,6 +85,8 @@ def build_reference():
             center_sampling=True, center_sample_radius=1.5,
             centerness_on_reg=True, regression_normalize=True,
             with_hm_loss=True,
+            min_overlap_hm=0.9, min_hm_radius=0, max_hm_radius=3,
+            min_overlap_kp=0.9, min_offset_radius=0, max_offset_radius=3,
             loss_cls=dict(type='mmdet.VarifocalLoss', use_sigmoid=True,
                           gamma=2.0, alpha=0.75, iou_weighted=True,
                           loss_weight=1.0),
@@ -179,3 +181,57 @@ InsPoseType = None
 def setup_module(module):
     from pavenet_tpu.models.detectors.inspose import InsPoseDetector
     module.InsPoseType = InsPoseDetector
+
+
+def test_heatmap_ae_offset_loss_differential(inspose_pair):
+    """Value-level differential of the stride-4 heatmap-branch losses
+    (CenterFocal + AE pull/push + short-range offset L1) against the
+    reference ``InsPoseHead.heatmap_ae_offset_loss`` on identical inputs —
+    this branch has no dependence on the positive-location sampling, so
+    the values must match exactly."""
+    import jax.numpy as jnp
+    ref, mine, variables = inspose_pair
+    rng = np.random.RandomState(11)
+    Bh, h4, w4, K = 1, 32, 48, 17
+    G = 3
+    hm = rng.randn(Bh, K, h4, w4).astype(np.float32)
+    ae = rng.randn(Bh, K, h4, w4).astype(np.float32)
+    off = rng.randn(Bh, 2 * K, h4, w4).astype(np.float32)
+    # gt keypoints in full-res coords (fit inside 4*h4 x 4*w4, away from
+    # the border so /4 stays in range)
+    kpts = np.zeros((G, K, 3), np.float32)
+    kpts[..., 0] = rng.uniform(8, 4 * w4 - 8, (G, K))
+    kpts[..., 1] = rng.uniform(8, 4 * h4 - 8, (G, K))
+    kpts[..., 2] = (rng.rand(G, K) > 0.3) * 2
+    kpts[0, :, 2] = 0  # one instance with no valid keypoints
+    boxes = np.zeros((G, 4), np.float32)
+    boxes[:, 0] = rng.uniform(0, 40, G)
+    boxes[:, 1] = rng.uniform(0, 30, G)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(30, 80, G)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(30, 80, G)
+
+    with torch.no_grad():
+        # NB the reference does hm_pred.sigmoid_() IN PLACE — clone, or it
+        # mutates the shared-memory numpy array before our side runs
+        want = ref.bbox_head.heatmap_ae_offset_loss(
+            torch.from_numpy(hm).clone(), torch.from_numpy(ae).clone(),
+            torch.from_numpy(off).clone(),
+            [torch.from_numpy(kpts.reshape(G, -1)).clone()],
+            [torch.zeros(G, dtype=torch.long)],
+            [torch.from_numpy(boxes).clone()], [{}])
+    want = [float(x) for x in want]  # hm, ae_pull, ae_push, hm_offset
+
+    hm_feats = {"hm": jnp.asarray(hm.transpose(0, 2, 3, 1)),
+                "ae": jnp.asarray(ae.transpose(0, 2, 3, 1)),
+                "offset": jnp.asarray(off.transpose(0, 2, 3, 1))}
+    got = mine.apply(
+        variables, hm_feats, jnp.asarray(kpts[None]),
+        jnp.asarray(boxes[None]), jnp.ones((1, G), bool),
+        method=type(mine)._heatmap_ae_offset_losses)
+    got = {k: float(v) for k, v in got.items()}
+    for name, key in (("hm", "loss_heatmap"), ("ae_pull", "loss_ae_pull"),
+                      ("ae_push", "loss_ae_push"),
+                      ("hm_offset", "loss_heatmap_offset")):
+        w = want[["hm", "ae_pull", "ae_push", "hm_offset"].index(name)]
+        g = got[key]
+        assert abs(g - w) < 2e-4 * max(abs(w), 1.0), (name, g, w, want, got)

@@ -25,6 +25,9 @@ def main():
     from pavenet_tpu.apis.test import evaluate_dataset
 
     cfg = Config.fromfile(args.config)
+    from pavenet_tpu.config import replace_cfg_vals, update_data_root
+    cfg = replace_cfg_vals(cfg)
+    update_data_root(cfg)
     if args.cfg_options:
         cfg.merge_from_dict(DictAction.parse(args.cfg_options))
     test_cfg = dict(cfg.data["test"])

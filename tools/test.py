@@ -51,6 +51,9 @@ def main():
     import numpy as np
 
     cfg = Config.fromfile(args.config)
+    from pavenet_tpu.config import replace_cfg_vals, update_data_root
+    cfg = replace_cfg_vals(cfg)
+    update_data_root(cfg)
     if args.cfg_options:
         cfg.merge_from_dict(DictAction.parse(args.cfg_options))
     logger = get_root_logger()

@@ -63,6 +63,9 @@ def main():
     from pavenet_tpu.utils import get_root_logger, LogBuffer, set_random_seed
 
     cfg = Config.fromfile(args.config)
+    from pavenet_tpu.config import replace_cfg_vals, update_data_root
+    cfg = replace_cfg_vals(cfg)
+    update_data_root(cfg)
     if args.cfg_options:
         cfg.merge_from_dict(DictAction.parse(args.cfg_options))
     work_dir = args.work_dir or cfg.get("work_dir") or os.path.join(
