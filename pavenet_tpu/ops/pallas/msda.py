@@ -124,18 +124,23 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
     for c in range(CB):
         taps = idx_ref[0, 0, 0, c]                  # (1, LANE) int32
         w = w_ref[0, 0, 0, c]                       # (1, LANE) f32
+        # Each tap lives in exactly ONE tile, so the probe loop can
+        # *select* instead of mask-and-add: precompute the in-tile lane
+        # (taps & 127) and the global tile id (taps >> 7) once per chunk,
+        # then each probe is compare + lookup + select — 3 vector ops vs
+        # the 9 of the sub/2-cmp/and/clip/lookup/select/add form (the
+        # main loop is instruction-issue-bound, see PERF_NOTES).
         taps_b = jnp.broadcast_to(taps, (D, LANE))
+        lanec = taps_b & (LANE - 1)
+        tt = jax.lax.shift_right_logical(taps_b, 7)
         tmin = tmin_ref[0, l, cblk, c]
 
         acc = jnp.zeros((D, LANE), jnp.float32)
         for k in range(STATIC_PROBES):
             t = tmin + k
             tile = val_ref[0, t]                    # (D, LANE)
-            lane = taps_b - t * LANE
-            hit = (lane >= 0) & (lane < LANE)
-            g = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
-                                    axis=1)
-            acc = acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
+            g = jnp.take_along_axis(tile, lanec, axis=1)
+            acc = jnp.where(tt == t, g, acc)
         acc = acc * w
         # 16-lane group sums + implicit transpose in one exact (6-pass)
         # MXU contraction: (G, LANE) one-hot x (D, LANE) -> (G, D)
@@ -173,6 +178,8 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
                 taps = idx_ref[0, 0, 0, c]
                 w = w_ref[0, 0, 0, c]
                 taps_b = jnp.broadcast_to(taps, (D, LANE))
+                lanec = taps_b & (LANE - 1)
+                tt = jax.lax.shift_right_logical(taps_b, 7)
                 tmin = tmin_ref[0, l, cblk, c]
                 tmax = tmax_ref[0, l, cblk, c]
 
@@ -181,11 +188,8 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
                     t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
                                     tmin + STATIC_PROBES + j)
                     tile = val_ref[0, t]
-                    lane = taps_b - t * LANE
-                    hit = (lane >= 0) & (lane < LANE)
-                    g = jnp.take_along_axis(
-                        tile, jnp.clip(lane, 0, LANE - 1), axis=1)
-                    acc = acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
+                    g = jnp.take_along_axis(tile, lanec, axis=1)
+                    acc = jnp.where(tt == t, g, acc)
                 part = jax.lax.dot_general(
                     gt, acc * w, dimension_numbers=(((1,), (1,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
@@ -198,16 +202,15 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
                 taps = idx_ref[0, 0, 0, c]
                 w = w_ref[0, 0, 0, c]
                 taps_b = jnp.broadcast_to(taps, (D, LANE))
+                lanec = taps_b & (LANE - 1)
+                tt = jax.lax.shift_right_logical(taps_b, 7)
                 tmin = tmin_ref[0, l, cblk, c]
                 tmax = tmax_ref[0, l, cblk, c]
 
                 def tile_body(t, a):
                     tile = val_ref[0, t]
-                    lane = taps_b - t * LANE
-                    hit = (lane >= 0) & (lane < LANE)
-                    g = jnp.take_along_axis(
-                        tile, jnp.clip(lane, 0, LANE - 1), axis=1)
-                    return a + jnp.where(hit, g, 0.0).astype(jnp.float32)
+                    g = jnp.take_along_axis(tile, lanec, axis=1)
+                    return jnp.where(tt == t, g, a)
 
                 extra = jax.lax.fori_loop(
                     tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1, tile_body,
@@ -372,33 +375,37 @@ def _msda_bwd_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, g_ref,
             g8, gt, dimension_numbers=(((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)      # (D, LANE)
-        return taps, R, R * w
+        taps_b = jnp.broadcast_to(taps, (D, LANE))
+        lanec = taps_b & (LANE - 1)       # in-tile lane of each tap
+        tt = jax.lax.shift_right_logical(taps_b, 7)  # true tile of each tap
+        # probe-invariant scatter one-hot (lane identity); each probe only
+        # masks it by tile identity
+        ohl = (lanec[0:1] == lane_j)
+        return w, R, R * w, lanec, tt, ohl
 
-    def probe(t, taps_b, R, Rs, vdot):
+    def probe(t, lanec, tt, ohl, Rs, gvacc):
+        """One probe: select tap values by exact tile identity (tt == t) and
+        scatter this tile's rows.  The vdot reduction over D happens ONCE
+        per probe-set in the caller (selects are disjoint across probes)."""
         tile = val_ref[0, t]                     # (D, LANE)
-        lane = taps_b - t * LANE
-        hit = (lane >= 0) & (lane < LANE)
-        gv = jnp.take_along_axis(tile, jnp.clip(lane, 0, LANE - 1),
-                                 axis=1)
-        gv = jnp.where(hit, gv, 0.0).astype(jnp.float32)
-        vdot = vdot + jnp.sum(gv * R, axis=0, keepdims=True)
-        # scatter folded rows into the tile: oh[j, k] = (lane_k == j)
-        oh = ((lane[0:1] == lane_j) & hit[0:1]).astype(jnp.float32)
+        g = jnp.take_along_axis(tile, lanec, axis=1)
+        hit = tt == t
+        gvacc = jnp.where(hit, g, gvacc)
+        oh = (ohl & hit[0:1]).astype(jnp.float32)
         contrib = jax.lax.dot_general(
             Rs, oh, dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)  # (D, LANE_j)
         gval_ref[0, t] += contrib
-        return vdot
+        return gvacc
 
     for c in range(CB):
-        taps, R, Rs = chunk_rows(c)
-        taps_b = jnp.broadcast_to(taps, (D, LANE))
+        w, R, Rs, lanec, tt, ohl = chunk_rows(c)
         tmin = tmin_ref[0, l, cblk, c]
-        vdot = jnp.zeros((1, LANE), jnp.float32)
+        gvacc = jnp.zeros((D, LANE), jnp.float32)
         for k in range(STATIC_PROBES):
-            vdot = probe(tmin + k, taps_b, R, Rs, vdot)
-        vdot_ref[0, 0, 0, c] = vdot
+            gvacc = probe(tmin + k, lanec, tt, ohl, Rs, gvacc)
+        vdot_ref[0, 0, 0, c] = jnp.sum(gvacc * R, axis=0, keepdims=True)
 
     # two-level tail, mirroring the forward kernel's probe sets and its
     # per-TAIL_GROUP branch granularity
@@ -412,29 +419,29 @@ def _msda_bwd_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, g_ref,
         @pl.when(group_overflow >= STATIC_PROBES)
         def _(g0=g0):
             for c in range(g0, g0 + TAIL_GROUP):
-                taps, R, Rs = chunk_rows(c)
-                taps_b = jnp.broadcast_to(taps, (D, LANE))
+                w, R, Rs, lanec, tt, ohl = chunk_rows(c)
                 tmin = tmin_ref[0, l, cblk, c]
                 tmax = tmax_ref[0, l, cblk, c]
-                extra = jnp.zeros((1, LANE), jnp.float32)
+                gvacc = jnp.zeros((D, LANE), jnp.float32)
                 for j in range(TAIL_PROBES):
                     t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
                                     tmin + STATIC_PROBES + j)
-                    extra = probe(t, taps_b, R, Rs, extra)
-                vdot_ref[0, 0, 0, c] += extra
+                    gvacc = probe(t, lanec, tt, ohl, Rs, gvacc)
+                vdot_ref[0, 0, 0, c] += jnp.sum(gvacc * R, axis=0,
+                                                keepdims=True)
 
         @pl.when(group_overflow >= STATIC_PROBES + TAIL_PROBES)
         def _(g0=g0):
             for c in range(g0, g0 + TAIL_GROUP):
-                taps, R, Rs = chunk_rows(c)
-                taps_b = jnp.broadcast_to(taps, (D, LANE))
+                w, R, Rs, lanec, tt, ohl = chunk_rows(c)
                 tmin = tmin_ref[0, l, cblk, c]
                 tmax = tmax_ref[0, l, cblk, c]
-                extra = jax.lax.fori_loop(
+                gvacc = jax.lax.fori_loop(
                     tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1,
-                    lambda t, vv: probe(t, taps_b, R, Rs, vv),
-                    jnp.zeros((1, LANE), jnp.float32))
-                vdot_ref[0, 0, 0, c] += extra
+                    lambda t, vv: probe(t, lanec, tt, ohl, Rs, vv),
+                    jnp.zeros((D, LANE), jnp.float32))
+                vdot_ref[0, 0, 0, c] += jnp.sum(gvacc * R, axis=0,
+                                                keepdims=True)
 
 
 def _backward(value, spatial_shapes, sampling_locations, attention_weights,

@@ -48,10 +48,14 @@ def build_forward(abl: str):
         lanes = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 1)
         gt = (lanes // GROUP == rows).astype(jnp.float32)
 
+        TP, TG = M.TAIL_PROBES, M.TAIL_GROUP
+
         for c in range(CB):
             taps = idx_ref[0, 0, 0, c]
             w = w_ref[0, 0, 0, c]
             taps_b = jnp.broadcast_to(taps, (D, LANE))
+            lanec = taps_b & (LANE - 1)
+            tt = jax.lax.shift_right_logical(taps_b, 7)
             tmin = tmin_ref[0, l, cblk, c]
 
             acc = jnp.zeros((D, LANE), jnp.float32)
@@ -62,11 +66,8 @@ def build_forward(abl: str):
                 if abl == "nolookup":
                     acc = acc + tile.astype(jnp.float32)
                 else:
-                    lane = taps_b - t * LANE
-                    hit = (lane >= 0) & (lane < LANE)
-                    g = jnp.take_along_axis(
-                        tile, jnp.clip(lane, 0, LANE - 1), axis=1)
-                    acc = acc + jnp.where(hit, g, 0.0).astype(jnp.float32)
+                    g = jnp.take_along_axis(tile, lanec, axis=1)
+                    acc = jnp.where(tt == t, g, acc)
             acc = acc * w
             if abl == "nomxu":
                 part = acc[0:QPC, 0:D]
@@ -81,38 +82,63 @@ def build_forward(abl: str):
                 out_ref[0, 0:QPC, :] += part
 
         if abl not in ("notail", "statict", "noload"):
-            block_overflow = jnp.zeros((), jnp.int32)
-            for c in range(CB):
-                block_overflow = jnp.maximum(
-                    block_overflow,
-                    tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
+            for g0 in range(0, CB, TG):
+                group_overflow = jnp.zeros((), jnp.int32)
+                for c in range(g0, g0 + TG):
+                    group_overflow = jnp.maximum(
+                        group_overflow,
+                        tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
 
-            @pl.when(block_overflow >= SP)
-            def _():
-                for c in range(CB):
-                    taps = idx_ref[0, 0, 0, c]
-                    w = w_ref[0, 0, 0, c]
-                    taps_b = jnp.broadcast_to(taps, (D, LANE))
-                    tmin = tmin_ref[0, l, cblk, c]
-                    tmax = tmax_ref[0, l, cblk, c]
+                @pl.when(group_overflow >= SP)
+                def _(g0=g0):
+                    for c in range(g0, g0 + TG):
+                        taps = idx_ref[0, 0, 0, c]
+                        w = w_ref[0, 0, 0, c]
+                        taps_b = jnp.broadcast_to(taps, (D, LANE))
+                        lanec = taps_b & (LANE - 1)
+                        tt = jax.lax.shift_right_logical(taps_b, 7)
+                        tmin = tmin_ref[0, l, cblk, c]
+                        tmax = tmax_ref[0, l, cblk, c]
 
-                    def tile_body(t, a):
-                        tile = val_ref[0, t]
-                        lane = taps_b - t * LANE
-                        hit = (lane >= 0) & (lane < LANE)
-                        g = jnp.take_along_axis(
-                            tile, jnp.clip(lane, 0, LANE - 1), axis=1)
-                        return a + jnp.where(hit, g, 0.0).astype(jnp.float32)
+                        acc = jnp.zeros((D, LANE), jnp.float32)
+                        for j in range(TP):
+                            t = jnp.maximum(tmax - (TP - 1) + j,
+                                            tmin + SP + j)
+                            tile = val_ref[0, t]
+                            g = jnp.take_along_axis(tile, lanec, axis=1)
+                            acc = jnp.where(tt == t, g, acc)
+                        part = jax.lax.dot_general(
+                            gt, acc * w,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+                        out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
-                    extra = jax.lax.fori_loop(
-                        tmin + SP, tmax + 1, tile_body,
-                        jnp.zeros((D, LANE), jnp.float32))
-                    part = jax.lax.dot_general(
-                        gt, extra * w,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-                    out_ref[0, c * QPC:(c + 1) * QPC, :] += part
+                @pl.when(group_overflow >= SP + TP)
+                def _(g0=g0):
+                    for c in range(g0, g0 + TG):
+                        taps = idx_ref[0, 0, 0, c]
+                        w = w_ref[0, 0, 0, c]
+                        taps_b = jnp.broadcast_to(taps, (D, LANE))
+                        lanec = taps_b & (LANE - 1)
+                        tt = jax.lax.shift_right_logical(taps_b, 7)
+                        tmin = tmin_ref[0, l, cblk, c]
+                        tmax = tmax_ref[0, l, cblk, c]
+
+                        def tile_body(t, a):
+                            tile = val_ref[0, t]
+                            g = jnp.take_along_axis(tile, lanec, axis=1)
+                            return jnp.where(tt == t, g, a)
+
+                        extra = jax.lax.fori_loop(
+                            tmin + SP, tmax - TP + 1, tile_body,
+                            jnp.zeros((D, LANE), jnp.float32))
+                        part = jax.lax.dot_general(
+                            gt, extra * w,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+                        out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
     def forward(value, spatial_shapes, locs, attn):
         B, N, H, D = value.shape
@@ -120,8 +146,8 @@ def build_forward(abl: str):
         L = len(spatial_shapes)
         tile_base, T_total = M._tile_bases(spatial_shapes)
         val = M._value_tables(value, spatial_shapes, T_total)
-        val = jnp.pad(val, ((0, 0), (0, SP - 1), (0, 0), (0, 0)))
-        Tp = T_total + SP - 1
+        val = jnp.pad(val, ((0, 0), (0, M.PROBE_PAD), (0, 0), (0, 0)))
+        Tp = T_total + M.PROBE_PAD
         locs, attn, Qpad = M._pad_queries(locs, attn)
         NC = Qpad * GROUP // LANE
         idx, w = M._prep_taps(spatial_shapes, locs, attn, tile_base)
