@@ -289,6 +289,35 @@ def _tile_windows(idx):
     return tmin, tmax  # (BH, L, NCB, CB) each
 
 
+def _chunk_windows(spatial_shapes, locations, tile_base):
+    """Per-chunk [min, max] tile windows from locations in NATIVE layout.
+
+    Equal to ``_tile_windows(idx)`` but never touches the transposed tap
+    stream: a chunk's 128 taps are 8 queries x 4 points x 4 corners whose
+    min index is the corner-0 base and max is base + Wl + 1, so the
+    reduce runs over (QPC, P) groups of the (B, Q, H, P) base array and
+    only the tiny (B, L, NC, H) result gets transposed.  Measured: the
+    old reduce's fusion re-ran the whole 274 MB tap build (39 ms of a
+    46 ms encoder-scale prep, `tools/perf/prep_split.py`)."""
+    B, Q, H, L, P, _ = locations.shape
+    tmins, tmaxs = [], []
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        loc = locations[:, :, :, lvl].astype(jnp.float32)
+        x = loc[..., 0] * Wl - 0.5
+        y = loc[..., 1] * Hl - 0.5
+        xs = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, max(Wl - 2, 0))
+        ys = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(Hl - 2, 0))
+        base = (ys * Wl + xs + tile_base[lvl] * LANE).reshape(
+            B, Q // QPC, QPC, H, P)
+        tmins.append(jnp.min(base, axis=(2, 4)) // LANE)     # (B, NC, H)
+        tmaxs.append((jnp.max(base, axis=(2, 4)) + Wl + 1) // LANE)
+    tmin = jnp.stack(tmins, 1)  # (B, L, NC, H)
+    tmax = jnp.stack(tmaxs, 1)
+    shape = (B * H, L, -1, CB)
+    return (tmin.transpose(0, 3, 1, 2).reshape(shape).astype(jnp.int32),
+            tmax.transpose(0, 3, 1, 2).reshape(shape).astype(jnp.int32))
+
+
 def _forward(value, spatial_shapes, sampling_locations, attention_weights):
     B, N, H, D = value.shape
     Q = sampling_locations.shape[1]
@@ -311,7 +340,8 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
                         attention_weights, tile_base)
     idx = idx.reshape(B * H, L, NC // CB, CB, 1, LANE)
     w = w.reshape(B * H, L, NC // CB, CB, 1, LANE)
-    tmin, tmax = _tile_windows(idx)
+    tmin, tmax = _chunk_windows(spatial_shapes, sampling_locations,
+                                tile_base)
 
     out = pl.pallas_call(
         _msda_kernel,
@@ -460,7 +490,7 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
     idx, w = _prep_taps(spatial_shapes, locs_p, attn_p, tile_base)
     idx = idx.reshape(B * H, L, NC // CB, CB, 1, LANE)
     w = w.reshape(B * H, L, NC // CB, CB, 1, LANE)
-    tmin, tmax = _tile_windows(idx)
+    tmin, tmax = _chunk_windows(spatial_shapes, locs_p, tile_base)
     g_bh = g.reshape(B, Q, H, D).transpose(0, 2, 1, 3).reshape(
         B * H, Q, D).astype(jnp.float32)
     g_bh = jnp.pad(g_bh, ((0, 0), (0, Qpad - Q), (0, 0)))

@@ -10,6 +10,10 @@ Each variant removes one piece of the per-chunk work (results become wrong
   notail   — drop the hoisted overflow tail entirely
   noout    — skip the out_ref update (accumulate into a dummy)
   noload   — load ONE tile per chunk, probe it 4x (isolates VMEM loads)
+  noprobe  — skip the probe loop (acc = broadcast w): per-chunk overhead
+             + MXU + out only
+  preponly — kernel writes zeros once: XLA prep (tap build, value tables,
+             windows) + pallas launch cost only
 
 Run: python tools/perf/msda_ablate.py [--abl full,nomxu,...] [--iters 11]
 """
@@ -50,6 +54,9 @@ def build_forward(abl: str):
 
         TP, TG = M.TAIL_PROBES, M.TAIL_GROUP
 
+        if abl == "preponly":
+            return
+
         for c in range(CB):
             taps = idx_ref[0, 0, 0, c]
             w = w_ref[0, 0, 0, c]
@@ -60,7 +67,7 @@ def build_forward(abl: str):
 
             acc = jnp.zeros((D, LANE), jnp.float32)
             tile0 = val_ref[0, tmin] if abl == "noload" else None
-            for k in range(SP):
+            for k in range(0 if abl == "noprobe" else SP):
                 t = k if abl == "statict" else tmin + k
                 tile = tile0 if abl == "noload" else val_ref[0, t]
                 if abl == "nolookup":
@@ -81,7 +88,7 @@ def build_forward(abl: str):
             else:
                 out_ref[0, 0:QPC, :] += part
 
-        if abl not in ("notail", "statict", "noload"):
+        if abl not in ("notail", "statict", "noload", "noprobe"):
             for g0 in range(0, CB, TG):
                 group_overflow = jnp.zeros((), jnp.int32)
                 for c in range(g0, g0 + TG):
@@ -153,7 +160,7 @@ def build_forward(abl: str):
         idx, w = M._prep_taps(spatial_shapes, locs, attn, tile_base)
         idx = idx.reshape(B * H, L, NC // CB, CB, 1, LANE)
         w = w.reshape(B * H, L, NC // CB, CB, 1, LANE)
-        tmin, tmax = M._tile_windows(idx)
+        tmin, tmax = M._chunk_windows(spatial_shapes, locs, tile_base)
         out = pl.pallas_call(
             kernel,
             grid=(B * H, NC // CB, L),
@@ -192,7 +199,12 @@ def main():
     ap.add_argument("--iters", type=int, default=11)
     ap.add_argument("--bucket", default="800x1344")
     ap.add_argument("--batch", type=int, default=3)
+    ap.add_argument("--cb", type=int, default=0,
+                    help="override msda.CB (chunks per grid step)")
     args = ap.parse_args()
+    if args.cb:
+        from pavenet_tpu.ops.pallas import msda as _M
+        _M.CB = args.cb
     hh, ww = (int(x) for x in args.bucket.split("x"))
     shapes = encoder_shapes(hh, ww)
     value, loc, attn = make_inputs(shapes, B=args.batch)
