@@ -102,7 +102,7 @@ class MultiScaleDeformableAttention(nn.Module):
         locations = make_sampling_locations(
             reference_points, offsets, spatial_shapes, P)
         out = ms_deform_attn(v, spatial_shapes, locations, weights,
-                             impl=self.impl)
+                             impl=self.impl, training=not deterministic)
         out = nn.Dense(self.embed_dims, dtype=self.dtype,
                        kernel_init=_xavier_uniform(),
                        name="output_proj")(out)
@@ -190,7 +190,7 @@ class _MultiFrameBase(nn.Module):
         return offsets, weights, frame_w
 
     def _attend_and_fuse(self, v, locations, weights, frame_w,
-                         spatial_shapes):
+                         spatial_shapes, training=False):
         """Run one folded (B*T) deformable gather and fuse frames."""
         B, T, N, H, D = v.shape
         Q = locations.shape[2]
@@ -199,7 +199,7 @@ class _MultiFrameBase(nn.Module):
             locations.reshape(B * T, Q, H, self.num_levels,
                               self.num_points, 2),
             weights.reshape(B * T, Q, H, self.num_levels, self.num_points),
-            impl=self.impl)
+            impl=self.impl, training=training)
         out = out.reshape(B, T, Q, H, D)
         out = (out * frame_w[..., None]).sum(axis=1)     # (B, Q, H, D)
         out = out.reshape(B, Q, H * D)
@@ -234,7 +234,8 @@ class MultiFrameDeformableAttention(_MultiFrameBase):
                 reference_points[:, None], offsets, spatial_shapes,
                 self.num_points)
         out = self._attend_and_fuse(v, locations, weights, frame_w,
-                                    spatial_shapes)
+                                    spatial_shapes,
+                                    training=not deterministic)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return identity + out
 
@@ -286,6 +287,7 @@ class MultiFramePoseDeformableAttention(_MultiFrameBase):
         offsets, weights, frame_w = self._frame_heads(query)
         locations = pose_sampling_locations(reference_points, offsets)
         out = self._attend_and_fuse(v, locations, weights, frame_w,
-                                    spatial_shapes)
+                                    spatial_shapes,
+                                    training=not deterministic)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return identity + out

@@ -243,15 +243,24 @@ ms_deform_attn_xla.defvjp(_msda_xla_fwd, _msda_xla_bwd)
 
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations,
-                   attention_weights, impl: str = "auto"):
-    """Dispatching wrapper; ``impl`` in {'auto', 'xla', 'pallas'}.
+                   attention_weights, impl: str = "auto",
+                   training: bool = False):
+    """Dispatching wrapper; ``impl`` in {'auto', 'xla', 'pallas', 'cs'}.
 
-    'auto' picks the Pallas kernel on TPU when its layout constraints hold
+    'auto' picks a Pallas kernel on TPU when its layout constraints hold
     (P*4 taps == 16 per query-level, i.e. the standard P=4; also a ~40x
     faster compile); the pose-attention shape (P=K) and non-TPU backends
-    use the XLA block-gather formulation. Both are exact (tested to 1e-7)
-    and both have fused custom backwards (the Pallas one accumulates
-    grad_value in VMEM — no gathered-tap residuals, see pallas/msda.py).
+    use the XLA block-gather formulation.  All are exact (tested to 1e-7)
+    and all have fused custom backwards.
+
+    At inference 'auto' resolves to the second-generation corner-stream
+    kernel ('cs', pallas/msda_cs.py — native-layout prep, 1.2-1.7x the
+    first-gen forward); under training it resolves to the first-gen
+    kernel ('pallas'): the cs backward currently delegates to the
+    first-gen fused backward, and pairing a cs forward with it defeats
+    the fwd/bwd prep CSE inside the one-program train step (measured
+    1.61 -> 1.67 s/step).  Pass ``training=True`` from modules when
+    gradients will flow (e.g. ``not deterministic``).
     """
     if impl == "auto":
         import jax as _jax
@@ -261,11 +270,21 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
         # in-model on v5e (clip 496 -> 526 ms; XLA overlaps the small
         # decoder gathers with other work) and costs a pathological
         # ~40 min Mosaic compile for the extra kernel specialization.
-        impl = ("pallas" if P == 4 and _jax.default_backend() == "tpu"
-                else "xla")
+        if P == 4 and _jax.default_backend() == "tpu":
+            impl = "pallas" if training else "cs"
+        else:
+            impl = "xla"
     if impl == "pallas":
         from .pallas.msda import ms_deform_attn_pallas
         return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights)
+    if impl == "cs":
+        # second-generation corner-stream kernel (pallas/msda_cs.py):
+        # native-layout prep (no corner interleave, half the stream bytes),
+        # corners folded in-kernel; backward via the proven msda.py fused
+        # backward (see msda_cs._bwd for the Mosaic note).
+        from .pallas.msda_cs import ms_deform_attn_cs
+        return ms_deform_attn_cs(
             value, spatial_shapes, sampling_locations, attention_weights)
     if impl == "pallas_split":
         # the op is linear over sampling points, and the kernel layout

@@ -116,3 +116,46 @@ def test_pallas_two_level_tail_probe_sets():
         errs = [float(e) for e in diff(v, loc, w, g)]
         for name, e in zip(("out", "gval", "gloc", "gattn"), errs):
             assert e < 5e-4, (SH, spread, name, errs)
+
+
+@tpu_only
+def test_corner_stream_kernel_fwd_and_grads():
+    """Second-generation corner-stream kernel (ops/pallas/msda_cs.py):
+    forward parity on all tail regimes plus grads through its hybrid VJP
+    (cs forward + first-gen fused backward)."""
+    import jax.numpy as jnp
+    from pavenet_tpu.ops.pallas.msda_cs import ms_deform_attn_cs
+
+    rng = np.random.RandomState(11)
+    for SH, B, Q, H, spread in [
+        (((24, 32), (12, 16)), 2, 64, 4, 0.02),   # static window only
+        (((40, 52), (20, 26)), 1, 96, 2, 0.08),   # tail-probe spans
+        (((16, 200),), 1, 64, 2, 0.05),           # wide level, row wraps
+        (((40, 52), (20, 26)), 1, 77, 2, None),   # global -> fori middle
+    ]:
+        L = len(SH)
+        N = sum(h * w for h, w in SH)
+        v = rng.randn(B, N, H, 32).astype(np.float32)
+        if spread is None:
+            loc = (rng.rand(B, Q, H, L, 4, 2) * 1.4 - 0.2)
+        else:
+            loc = (rng.rand(B, Q, H, 1, 1, 2)
+                   + rng.randn(B, Q, H, L, 4, 2) * spread)
+        loc = loc.astype(np.float32)
+        w = rng.rand(B, Q, H, L, 4).astype(np.float32)
+        w /= w.reshape(B, Q, H, -1).sum(-1).reshape(B, Q, H, 1, 1)
+        g = rng.randn(B, Q, H * 32).astype(np.float32)
+
+        @jax.jit
+        def diff(v, loc, w, g):
+            def pair(fn):
+                out, vjp = jax.vjp(lambda *a: fn(a[0], SH, a[1], a[2]),
+                                   v, loc, w)
+                return (out,) + vjp(g)
+            outs_p = pair(ms_deform_attn_cs)
+            outs_x = pair(ms_deform_attn_xla)
+            return [jnp.max(jnp.abs(a - b)) for a, b in zip(outs_p, outs_x)]
+
+        errs = [float(e) for e in diff(v, loc, w, g)]
+        for name, e in zip(("out", "gval", "gloc", "gattn"), errs):
+            assert e < 5e-4, (SH, spread, name, errs)

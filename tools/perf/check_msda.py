@@ -21,9 +21,13 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def run_case(shapes, B, Q, H, D, P, mode, seed):
+def run_case(shapes, B, Q, H, D, P, mode, seed, impl="msda"):
     from pavenet_tpu.ops.ms_deform_attn import ms_deform_attn_xla
-    from pavenet_tpu.ops.pallas.msda import ms_deform_attn_pallas
+    if impl == "cs":
+        from pavenet_tpu.ops.pallas.msda_cs import (
+            ms_deform_attn_cs as ms_deform_attn_pallas)
+    else:
+        from pavenet_tpu.ops.pallas.msda import ms_deform_attn_pallas
 
     rng = np.random.RandomState(seed)
     N = sum(h * w for h, w in shapes)
@@ -75,6 +79,10 @@ def run_case(shapes, B, Q, H, D, P, mode, seed):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="msda", choices=["msda", "cs"])
+    args = ap.parse_args()
     cases = [
         # small spans: static window only
         (((24, 32), (12, 16)), 2, 64, 4, 32, 4, "0.02", 0),
@@ -87,7 +95,7 @@ def main():
     ]
     ok = True
     for c in cases:
-        ok &= run_case(*c)
+        ok &= run_case(*c, impl=args.impl)
     print("ALL OK" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
 

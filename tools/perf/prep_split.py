@@ -120,6 +120,78 @@ def main():
         return call(tmin, tmax, idx, w, build_val(v))
     variants["all_in"] = (fix_all_in, (value, locs_p, attn_p))
 
+    def build_taps_cw(lo, at):
+        """Shipped path: windows from native layout (_chunk_windows)."""
+        idx, w = M._prep_taps(shapes, lo, at, tile_base)
+        idx = idx.reshape(B * H, L, NC // CB, CB, 1, LANE)
+        w = w.reshape(B * H, L, NC // CB, CB, 1, LANE)
+        tmin, tmax = M._chunk_windows(shapes, lo, tile_base)
+        return idx, w, tmin, tmax
+
+    def shipped(v, lo, at):
+        idx, w, tmin, tmax = build_taps_cw(lo, at)
+        return call(tmin, tmax, idx, w, build_val(v))
+    variants["shipped"] = (shipped, (value, locs_p, attn_p))
+
+    def t_first(v, lo, at):
+        """Transpose loc/attn H<->Q FIRST (103 MB), then build idx/w with
+        NO big transpose — isolates transpose vs corner-interleave cost."""
+        lo_t = lo.transpose(0, 2, 1, 3, 4, 5)   # (B, H, Q, L, P, 2)
+        at_t = at.transpose(0, 2, 1, 3, 4)      # (B, H, Q, L, P)
+        idx_all, w_all = [], []
+        for lvl, (Hl, Wl) in enumerate(shapes):
+            locv = lo_t[:, :, :, lvl].astype(jnp.float32)
+            x = locv[..., 0] * Wl - 0.5
+            y = locv[..., 1] * Hl - 0.5
+            x0 = jnp.floor(x).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            ys = jnp.clip(y0, 0, max(Hl - 2, 0))
+            xs = jnp.clip(x0, 0, max(Wl - 2, 0))
+            wy0 = jnp.maximum(1.0 - jnp.abs(y - ys), 0.0)
+            wy1 = jnp.maximum(1.0 - jnp.abs(y - (ys + 1)), 0.0)
+            wx0 = jnp.maximum(1.0 - jnp.abs(x - xs), 0.0)
+            wx1 = jnp.maximum(1.0 - jnp.abs(x - (xs + 1)), 0.0)
+            atv = at_t[:, :, :, lvl].astype(jnp.float32)
+            base = ys * Wl + xs + tile_base[lvl] * LANE
+            idx = jnp.stack([base, base + 1, base + Wl, base + Wl + 1], -1)
+            w = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1],
+                          -1) * atv[..., None]
+            idx_all.append(idx.reshape(B, H, -1))
+            w_all.append(w.reshape(B, H, -1))
+        idx = jnp.stack(idx_all, 2).reshape(B * H, L, NC // CB, CB, 1, LANE)
+        w = jnp.stack(w_all, 2).reshape(B * H, L, NC // CB, CB, 1, LANE)
+        tmin, tmax = M._chunk_windows(shapes, lo, tile_base)
+        return call(tmin, tmax, idx, w, build_val(v))
+    variants["t_first"] = (t_first, (value, locs_p, attn_p))
+
+    def nointerleave(v, lo, at):
+        """t_first but corners CONCATENATED per level (wrong tap order —
+        timing only): isolates the stride-4 corner interleave cost."""
+        lo_t = lo.transpose(0, 2, 1, 3, 4, 5)
+        at_t = at.transpose(0, 2, 1, 3, 4)
+        idx_all, w_all = [], []
+        for lvl, (Hl, Wl) in enumerate(shapes):
+            locv = lo_t[:, :, :, lvl].astype(jnp.float32)
+            x = locv[..., 0] * Wl - 0.5
+            y = locv[..., 1] * Hl - 0.5
+            ys = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(Hl - 2, 0))
+            xs = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, max(Wl - 2, 0))
+            wy0 = jnp.maximum(1.0 - jnp.abs(y - ys), 0.0)
+            wx0 = jnp.maximum(1.0 - jnp.abs(x - xs), 0.0)
+            atv = at_t[:, :, :, lvl].astype(jnp.float32)
+            base = ys * Wl + xs + tile_base[lvl] * LANE
+            idx = jnp.concatenate(
+                [base, base + 1, base + Wl, base + Wl + 1], -1)
+            w = jnp.concatenate([wy0 * wx0] * 4, -1) * jnp.concatenate(
+                [atv] * 4, -1)
+            idx_all.append(idx.reshape(B, H, -1))
+            w_all.append(w.reshape(B, H, -1))
+        idx = jnp.stack(idx_all, 2).reshape(B * H, L, NC // CB, CB, 1, LANE)
+        w = jnp.stack(w_all, 2).reshape(B * H, L, NC // CB, CB, 1, LANE)
+        tmin, tmax = M._chunk_windows(shapes, lo, tile_base)
+        return call(tmin, tmax, idx, w, build_val(v))
+    variants["nointerlv"] = (nointerleave, (value, locs_p, attn_p))
+
     for name, (fn, ops) in variants.items():
         def loop(*xs):
             def body(c, _):
