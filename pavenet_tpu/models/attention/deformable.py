@@ -72,8 +72,14 @@ class MultiScaleDeformableAttention(nn.Module):
     @nn.compact
     def __call__(self, query, value, reference_points,
                  spatial_shapes: Shapes, key_padding_mask=None,
-                 identity=None, query_pos=None, deterministic: bool = True):
-        """query (B,Q,C); value (B,N,C); reference_points (B,Q,L,2|4)."""
+                 identity=None, query_pos=None, deterministic: bool = True,
+                 query_shapes: Shapes = None):
+        """query (B,Q,C); value (B,N,C); reference_points (B,Q,L,2|4).
+
+        ``query_shapes``: per-level (H, W) of the query raster when the
+        queries are the flattened multi-level tokens themselves (encoder
+        self-attn) — enables row-aligned chunking in the Pallas kernels.
+        """
         if identity is None:
             identity = query
         if query_pos is not None:
@@ -102,7 +108,8 @@ class MultiScaleDeformableAttention(nn.Module):
         locations = make_sampling_locations(
             reference_points, offsets, spatial_shapes, P)
         out = ms_deform_attn(v, spatial_shapes, locations, weights,
-                             impl=self.impl, training=not deterministic)
+                             impl=self.impl, training=not deterministic,
+                             query_shapes=query_shapes)
         out = nn.Dense(self.embed_dims, dtype=self.dtype,
                        kernel_init=_xavier_uniform(),
                        name="output_proj")(out)

@@ -242,9 +242,82 @@ def _msda_xla_bwd(spatial_shapes, res, g):
 ms_deform_attn_xla.defvjp(_msda_xla_fwd, _msda_xla_bwd)
 
 
+def _wrap_can_overflow(lq, query_shapes, multiple=32):
+    """Can a 32-query chunk of query level ``lq`` that straddles a row
+    wrap overflow the kernels' 4-tile static probe window on some sampled
+    level?  Worst-case window (tokens) for sampled level with width Ws and
+    query->sampled column ratio r: within-row x-span ``multiple*r`` plus
+    the 2x2 bilinear footprint ``Ws + 1`` plus the wrap's row jump
+    ``r * Ws``.  Finest-level queries (r <= 1 everywhere) never overflow
+    and should not pay the ~14% pad-query cost (measured: aligning all
+    levels REGRESSED the flagship clip 237 -> 265 ms)."""
+    from .pallas.msda import LANE, STATIC_PROBES
+    Wq = query_shapes[lq][1]
+    worst = max(multiple * max(1, Ws // Wq) + Ws + 1
+                + max(1, Ws // Wq) * Ws
+                for (_, Ws) in query_shapes)
+    # tmax - tmin <= (worst + LANE - 1) // LANE; tail fires at >= 4
+    return (worst + LANE - 1) // LANE >= STATIC_PROBES
+
+
+def _row_align(query_shapes, locations, weights, multiple=32):
+    """Pad each level's query rows to a multiple of ``multiple`` queries.
+
+    The Pallas kernels chunk 32 consecutive queries; when encoder
+    self-attention queries are a multi-level raster, a chunk that
+    straddles a feature-row wrap sees its per-chunk tile window jump by
+    ~``W_level`` tokens on every finer sampled level — the structural
+    source of the kernels' warm overflow tail (PERF_NOTES).  Padding each
+    query row so chunks never straddle a wrap trades ~16% more main-loop
+    chunks for a cold tail.  Pad queries replicate the row's last
+    location (keeps chunk windows tight) with ZERO attention weights
+    (their outputs are exactly zero and are sliced away, so cotangents
+    reaching the kernel for them are zero too — the alignment can sit
+    outside the custom-VJP boundary).  Returns (locations, weights,
+    segs) with segs = (padded_start, Hl, Wl, Wp) per level."""
+    B = locations.shape[0]
+    trail_l = locations.shape[3:]
+    trail_w = weights.shape[3:]
+    H = locations.shape[2]
+    locs_parts, w_parts, segs = [], [], []
+    start, pstart = 0, 0
+    for lq, (Hl, Wl) in enumerate(query_shapes):
+        n = Hl * Wl
+        Wp = (-(-Wl // multiple) * multiple
+              if _wrap_can_overflow(lq, query_shapes) else Wl)
+        lseg = locations[:, start:start + n].reshape(
+            (B, Hl, Wl, H) + trail_l)
+        wseg = weights[:, start:start + n].reshape((B, Hl, Wl, H) + trail_w)
+        if Wp != Wl:
+            pad = Wp - Wl
+            lseg = jnp.concatenate(
+                [lseg, jnp.broadcast_to(lseg[:, :, -1:],
+                                        (B, Hl, pad, H) + trail_l)], axis=2)
+            wseg = jnp.concatenate(
+                [wseg, jnp.zeros((B, Hl, pad, H) + trail_w, wseg.dtype)],
+                axis=2)
+        locs_parts.append(lseg.reshape((B, Hl * Wp, H) + trail_l))
+        w_parts.append(wseg.reshape((B, Hl * Wp, H) + trail_w))
+        segs.append((pstart, Hl, Wl, Wp))
+        pstart += Hl * Wp
+        start += n
+    return (jnp.concatenate(locs_parts, 1), jnp.concatenate(w_parts, 1),
+            segs)
+
+
+def _row_unalign(out, segs):
+    """Drop the pad queries inserted by ``_row_align`` from (B, Q', C)."""
+    B, _, C = out.shape
+    parts = []
+    for (pstart, Hl, Wl, Wp) in segs:
+        seg = out[:, pstart:pstart + Hl * Wp].reshape(B, Hl, Wp, C)
+        parts.append(seg[:, :, :Wl].reshape(B, Hl * Wl, C))
+    return jnp.concatenate(parts, 1)
+
+
 def ms_deform_attn(value, spatial_shapes, sampling_locations,
                    attention_weights, impl: str = "auto",
-                   training: bool = False):
+                   training: bool = False, query_shapes=None):
     """Dispatching wrapper; ``impl`` in {'auto', 'xla', 'pallas', 'cs'}.
 
     'auto' picks a Pallas kernel on TPU when its layout constraints hold
@@ -261,6 +334,11 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
     the fwd/bwd prep CSE inside the one-program train step (measured
     1.61 -> 1.67 s/step).  Pass ``training=True`` from modules when
     gradients will flow (e.g. ``not deterministic``).
+
+    ``query_shapes``: per-level (H, W) of the *query* raster when queries
+    are flattened multi-level tokens in raster order (encoder self-attn).
+    Enables row-aligned chunking on the Pallas paths (see ``_row_align``);
+    exactness is unaffected.
     """
     if impl == "auto":
         import jax as _jax
@@ -274,18 +352,25 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
             impl = "pallas" if training else "cs"
         else:
             impl = "xla"
-    if impl == "pallas":
-        from .pallas.msda import ms_deform_attn_pallas
-        return ms_deform_attn_pallas(
-            value, spatial_shapes, sampling_locations, attention_weights)
-    if impl == "cs":
-        # second-generation corner-stream kernel (pallas/msda_cs.py):
-        # native-layout prep (no corner interleave, half the stream bytes),
-        # corners folded in-kernel; backward via the proven msda.py fused
-        # backward (see msda_cs._bwd for the Mosaic note).
-        from .pallas.msda_cs import ms_deform_attn_cs
-        return ms_deform_attn_cs(
-            value, spatial_shapes, sampling_locations, attention_weights)
+    if impl in ("pallas", "cs"):
+        if impl == "pallas":
+            from .pallas.msda import ms_deform_attn_pallas as kern
+        else:
+            # second-generation corner-stream kernel (pallas/msda_cs.py):
+            # native-layout prep (no corner interleave, half the stream
+            # bytes), corners folded in-kernel; backward via the proven
+            # msda.py fused backward (see msda_cs._bwd for the Mosaic
+            # note).
+            from .pallas.msda_cs import ms_deform_attn_cs as kern
+        if query_shapes is not None and any(
+                _wrap_can_overflow(lq, query_shapes)
+                for lq in range(len(query_shapes))):
+            locs, wts, segs = _row_align(
+                query_shapes, sampling_locations, attention_weights)
+            out = kern(value, spatial_shapes, locs, wts)
+            return _row_unalign(out, segs)
+        return kern(value, spatial_shapes, sampling_locations,
+                    attention_weights)
     if impl == "pallas_split":
         # the op is linear over sampling points, and the kernel layout
         # wants exactly 4 points per query: zero-pad P to a multiple of 4

@@ -144,3 +144,37 @@ def test_pallas_split_matches_xla_on_tpu():
         a, SH, b, c, impl="pallas_split"))(v, loc, w))
     want = np.asarray(ms_deform_attn_xla(v, SH, loc, w))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_row_align_is_exact():
+    """Row-aligned query chunking (``_row_align``/``_row_unalign``) is a
+    pure re-layout: running any kernel on the aligned streams and
+    dropping the pad rows must reproduce the direct result exactly —
+    forward and gradients (pad queries carry zero attention weight, so
+    their outputs and cotangents are zero).  Kernel-agnostic check via
+    the XLA oracle."""
+    from pavenet_tpu.ops.ms_deform_attn import (
+        ms_deform_attn_xla, _row_align, _row_unalign)
+
+    SH = ((7, 13), (4, 7), (2, 4))           # query raster == value raster
+    N = sum(h * w for h, w in SH)
+    rng = np.random.RandomState(3)
+    v = jnp.asarray(rng.randn(2, N, 2, 8), jnp.float32)
+    loc = jnp.asarray(rng.rand(2, N, 2, 3, 4, 2), jnp.float32)
+    w = rng.rand(2, N, 2, 3, 4).astype(np.float32)
+    w = jnp.asarray(w / w.sum((-1, -2), keepdims=True))
+    g = jnp.asarray(rng.randn(2, N, 16), jnp.float32)
+
+    def direct(v, loc, w):
+        return ms_deform_attn_xla(v, SH, loc, w)
+
+    def aligned(v, loc, w):
+        lp, wp, segs = _row_align(SH, loc, w)
+        return _row_unalign(ms_deform_attn_xla(v, SH, lp, wp), segs)
+
+    out_d, vjp_d = jax.vjp(direct, v, loc, w)
+    out_a, vjp_a = jax.vjp(aligned, v, loc, w)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_d))
+    for a, d, name in zip(vjp_a(g), vjp_d(g), ("gval", "gloc", "gattn")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d),
+                                   atol=1e-6, err_msg=name)
