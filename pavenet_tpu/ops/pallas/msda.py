@@ -47,6 +47,18 @@ QPC = LANE // GROUP  # queries per 128-lane chunk
 PACK = LANE // QPC   # chunks packed into one 128-query output tile
 
 
+def _mxu_precision(value):
+    """MXU precision for the in-kernel one-hot contractions, derived from
+    the op's input dtype: bf16 models get the single-pass bf16 MXU
+    (DEFAULT) — one extra rounding inside the op, below the model's own
+    activation quantization floor — while f32 inputs (all parity/exactness
+    gates) keep the exact 6-pass f32 contraction (HIGHEST; Mosaic does not
+    lower HIGH).  Measured v5e: the backward runs one contraction per
+    (chunk, probe), so it gains most."""
+    return (jax.lax.Precision.DEFAULT
+            if value.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST)
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
@@ -90,7 +102,8 @@ TAIL_GROUP = 32    # chunks per tail branch; == CB (block-level) measured
                    # full clip)
 
 
-def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
+def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref,
+                 *, precision):
     """Grid (BH, NC//CB, L); levels fastest so each chunk-block's output
     accumulates over levels while resident.
 
@@ -146,7 +159,7 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
         # MXU contraction: (G, LANE) one-hot x (D, LANE) -> (G, D)
         part = jax.lax.dot_general(
             gt, acc, dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32)
         out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
@@ -192,7 +205,7 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
                     acc = jnp.where(tt == t, g, acc)
                 part = jax.lax.dot_general(
                     gt, acc * w, dimension_numbers=(((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                     preferred_element_type=jnp.float32)
                 out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
@@ -218,7 +231,7 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref):
                 part = jax.lax.dot_general(
                     gt, extra * w,
                     dimension_numbers=(((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                     preferred_element_type=jnp.float32)
                 out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
@@ -344,7 +357,7 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
                                 tile_base)
 
     out = pl.pallas_call(
-        _msda_kernel,
+        functools.partial(_msda_kernel, precision=_mxu_precision(value)),
         grid=(B * H, NC // CB, L),
         in_specs=[
             pl.BlockSpec((1, L, NC // CB, CB),
@@ -374,7 +387,7 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
 
 
 def _msda_bwd_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, g_ref,
-                     vdot_ref, gval_ref):
+                     vdot_ref, gval_ref, *, precision):
     """Fused backward: per-tap value dots + grad_value scatter.
 
     Grid (BH, NC//CB, L), levels fastest.  ``gval_ref`` (the channel-major
@@ -403,7 +416,7 @@ def _msda_bwd_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, g_ref,
         # per-tap incoming-grad rows: R[d, k] = g8[query(k), d]
         R = jax.lax.dot_general(
             g8, gt, dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32)      # (D, LANE)
         taps_b = jnp.broadcast_to(taps, (D, LANE))
         lanec = taps_b & (LANE - 1)       # in-tile lane of each tap
@@ -424,7 +437,7 @@ def _msda_bwd_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, g_ref,
         oh = (ohl & hit[0:1]).astype(jnp.float32)
         contrib = jax.lax.dot_general(
             Rs, oh, dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32)  # (D, LANE_j)
         gval_ref[0, t] += contrib
         return gvacc
@@ -496,7 +509,8 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
     g_bh = jnp.pad(g_bh, ((0, 0), (0, Qpad - Q), (0, 0)))
 
     vdot, gval = pl.pallas_call(
-        _msda_bwd_kernel,
+        functools.partial(_msda_bwd_kernel,
+                          precision=_mxu_precision(value)),
         grid=(B * H, NC // CB, L),
         in_specs=[
             pl.BlockSpec((1, L, NC // CB, CB),

@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .msda import (
     LANE, _round_up, _tile_bases, _value_tables, _pad_queries,
-    STATIC_PROBES, TAIL_PROBES, PROBE_PAD,
+    STATIC_PROBES, TAIL_PROBES, PROBE_PAD, _mxu_precision,
 )
 
 P_POINTS = 4           # points per (query, level); kernel-static
@@ -141,7 +141,7 @@ def _corner_weights(dx, dy, at):
 
 
 def _msda_cs_kernel(wl_ref, tmin_ref, tmax_ref, base_ref, dx_ref, dy_ref,
-                    at_ref, val_ref, out_ref):
+                    at_ref, val_ref, out_ref, *, precision):
     """Grid (BH, NC//CB, L); levels fastest so each chunk-block's output
     accumulates over levels while resident (as in msda.py)."""
     cblk = pl.program_id(1)
@@ -180,7 +180,7 @@ def _msda_cs_kernel(wl_ref, tmin_ref, tmax_ref, base_ref, dx_ref, dy_ref,
                + accs[2] * ws[2] + accs[3] * ws[3])
         part = jax.lax.dot_general(
             gt, acc, dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32)      # (QPC, D)
         out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
@@ -207,7 +207,7 @@ def _msda_cs_kernel(wl_ref, tmin_ref, tmax_ref, base_ref, dx_ref, dy_ref,
                        + accs[2] * ws[2] + accs[3] * ws[3])
                 part = jax.lax.dot_general(
                     gt, acc, dimension_numbers=(((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                     preferred_element_type=jnp.float32)
                 out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
@@ -228,7 +228,7 @@ def _msda_cs_kernel(wl_ref, tmin_ref, tmax_ref, base_ref, dx_ref, dy_ref,
                        + accs[2] * ws[2] + accs[3] * ws[3])
                 part = jax.lax.dot_general(
                     gt, acc, dimension_numbers=(((1,), (1,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=precision,
                     preferred_element_type=jnp.float32)
                 out_ref[0, c * QPC:(c + 1) * QPC, :] += part
 
@@ -268,7 +268,8 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
 
     smem_w, smem, stream, table = _stream_specs(L, NC // CB, Tp, D)
     out = pl.pallas_call(
-        _msda_cs_kernel,
+        functools.partial(_msda_cs_kernel,
+                          precision=_mxu_precision(value)),
         grid=(B * H, NC // CB, L),
         in_specs=[smem_w, smem, smem, stream, stream, stream, stream,
                   table],
@@ -283,7 +284,8 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
 
 
 def _msda_cs_bwd_kernel(wl_ref, tmin_ref, tmax_ref, base_ref, dx_ref,
-                        dy_ref, at_ref, val_ref, g_ref, vdot_ref, gval_ref):
+                        dy_ref, at_ref, val_ref, g_ref, vdot_ref, gval_ref,
+                        *, precision):
     """Fused backward: per-corner value dots + grad_value scatter.
 
     ``gval_ref`` stays VMEM-resident per BH and accumulates across all
@@ -314,7 +316,7 @@ def _msda_cs_bwd_kernel(wl_ref, tmin_ref, tmax_ref, base_ref, dx_ref,
         # per-(q,p)-lane incoming-grad rows: R[d, k] = g8[k // P, d]
         R = jax.lax.dot_general(
             g8, gt, dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32)       # (D, LANE)
         # probe-invariant per-corner scatter one-hots + weighted rows
         ohs = [(lanec[0:1] == lane_j) for (lanec, _) in ids]
@@ -332,7 +334,7 @@ def _msda_cs_bwd_kernel(wl_ref, tmin_ref, tmax_ref, base_ref, dx_ref,
             oh = (ohl & hit[0:1]).astype(jnp.float32)
             part = jax.lax.dot_general(
                 Rw, oh, dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
                 preferred_element_type=jnp.float32)
             contrib = part if contrib is None else contrib + part
         # ONE read-modify-write of the dynamic slice per probe: Mosaic
@@ -415,7 +417,8 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
 
     smem_w, smem, stream, table = _stream_specs(L, NC // CB, Tp, D)
     vdot, gval = pl.pallas_call(
-        _msda_cs_bwd_kernel,
+        functools.partial(_msda_cs_bwd_kernel,
+                          precision=_mxu_precision(value)),
         grid=(B * H, NC // CB, L),
         in_specs=[smem_w, smem, smem, stream, stream, stream, stream,
                   table,

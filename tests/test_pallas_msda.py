@@ -159,3 +159,54 @@ def test_corner_stream_kernel_fwd_and_grads():
         errs = [float(e) for e in diff(v, loc, w, g)]
         for name, e in zip(("out", "gval", "gloc", "gattn"), errs):
             assert e < 5e-4, (SH, spread, name, errs)
+
+
+@tpu_only
+def test_bf16_kernels_within_bf16_floor():
+    """bf16 inputs route the in-kernel one-hot contractions to the
+    single-pass bf16 MXU (``_mxu_precision``): outputs and fused-backward
+    grads must stay within the bf16 activation quantization floor of the
+    f32 oracle (f32 inputs keep the exact 6-pass path — covered by the
+    other tests here)."""
+    import jax.numpy as jnp
+    from pavenet_tpu.ops.pallas.msda import ms_deform_attn_pallas
+    from pavenet_tpu.ops.pallas.msda_cs import ms_deform_attn_cs
+
+    rng = np.random.RandomState(7)
+    SH = ((24, 32), (12, 16))
+    N = sum(h * w for h, w in SH)
+    v = rng.randn(2, N, 4, 32).astype(np.float32)
+    loc = (rng.rand(2, 64, 4, 2, 4, 2) * 1.2 - 0.1).astype(np.float32)
+    w = rng.rand(2, 64, 4, 2, 4).astype(np.float32)
+    w /= w.reshape(2, 64, 4, -1).sum(-1).reshape(2, 64, 4, 1, 1)
+    g = rng.randn(2, 64, 128).astype(np.float32)
+    # oracle sees the SAME bf16-quantized inputs (upcast to f32), so the
+    # only delta under test is the kernels' internal contraction precision
+    vb = np.asarray(jnp.asarray(v, jnp.bfloat16), np.float32)
+    locb = np.asarray(jnp.asarray(loc, jnp.bfloat16), np.float32)
+    wb = np.asarray(jnp.asarray(w, jnp.bfloat16), np.float32)
+    gb = np.asarray(jnp.asarray(g, jnp.bfloat16), np.float32)
+    want = jax.vjp(lambda *a: ms_deform_attn_xla(a[0], SH, a[1], a[2]),
+                   vb, locb, wb)
+    want_out, want_vjp = np.asarray(want[0]), want[1](gb)
+
+    for kern in (ms_deform_attn_pallas, ms_deform_attn_cs):
+        @jax.jit
+        def run(v, loc, w, g, kern=kern):
+            out, vjp = jax.vjp(
+                lambda *a: kern(a[0].astype(jnp.bfloat16), SH,
+                                a[1].astype(jnp.bfloat16),
+                                a[2].astype(jnp.bfloat16)), v, loc, w)
+            return (out,) + vjp(g.astype(jnp.bfloat16))
+        out, gv, gl, ga = run(v, loc, w, g)
+        assert np.abs(np.asarray(out, np.float32) - want_out).max() < 0.05, (
+            kern.__name__, np.abs(np.asarray(out, np.float32)
+                                  - want_out).max())
+        for name, got, ref, tol in (("gval", gv, want_vjp[0], 0.05),
+                                    ("gloc", gl, want_vjp[1], 0.1),
+                                    ("gattn", ga, want_vjp[2], 0.05)):
+            ref = np.asarray(ref, np.float32)
+            got = np.asarray(got, np.float32)
+            scale = max(1.0, np.abs(ref).max())
+            assert np.abs(got - ref).max() / scale < tol, (
+                kern.__name__, name, np.abs(got - ref).max(), scale)
