@@ -279,6 +279,8 @@ def _row_align(query_shapes, locations, weights, multiple=32):
     trail_l = locations.shape[3:]
     trail_w = weights.shape[3:]
     H = locations.shape[2]
+    assert sum(h * w for h, w in query_shapes) == locations.shape[1], (
+        "query_shapes must tile the query axis (raster self-attention)")
     locs_parts, w_parts, segs = [], [], []
     start, pstart = 0, 0
     for lq, (Hl, Wl) in enumerate(query_shapes):
