@@ -155,7 +155,7 @@ def _msda_kernel(tmin_ref, tmax_ref, idx_ref, w_ref, val_ref, out_ref,
             g = jnp.take_along_axis(tile, lanec, axis=1)
             acc = jnp.where(tt == t, g, acc)
         acc = acc * w
-        # 16-lane group sums + implicit transpose in one exact (6-pass)
+        # 16-lane group sums + implicit transpose in one dtype-precision
         # MXU contraction: (G, LANE) one-hot x (D, LANE) -> (G, D)
         part = jax.lax.dot_general(
             gt, acc, dimension_numbers=(((1,), (1,)), ((), ())),
