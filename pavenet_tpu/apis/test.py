@@ -174,10 +174,11 @@ def evaluate_dataset(dataset, detections: List[dict],
         coco_res = COCOKeypointEval(
             dataset.coco, dt, sigmas=sigmas, max_dets=max_dets).evaluate()
         results.update({f"coco/{k}": v for k, v in coco_res.items()})
-    if getattr(dataset, "NUM_KEYPOINTS", None) == 15:
+    if getattr(dataset, "EVAL_PROTOCOL", "coco") == "posetrack":
         from ..core.eval.posetrack_eval import (
             evaluate_posetrack_ap, frames_from_coco)
-        frames = frames_from_coco(dataset.coco, detections)
+        frames = frames_from_coco(dataset.coco, detections,
+                                  max_dets=max_dets)
         pt = evaluate_posetrack_ap(frames)
         for k, v in pt.items():
             if k != "per_joint":

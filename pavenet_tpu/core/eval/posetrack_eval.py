@@ -16,10 +16,12 @@ vendors (``opera/core/posetrack_utils/poseval/py/evaluateAP.py``,
 
 The reference pipeline reached this metric through an out-of-repo patched
 pycocotools (``posetrack_video_pose.py:454``) plus per-video annolist json
-round trips; here detections feed the metric directly.  (The reference's
-empty-frame backfill inserts a score=-100 dummy prediction per missing
-frame — trailing all-negative samples at the bottom of the ranking, which
-provably never change VOCap AP, so no backfill is needed.)
+round trips; here detections feed the metric directly, with the file
+pipeline's protocol quirks reproduced in ``frames_from_coco`` (maxDets
+cap, empty-GT-frame drop, ignore-region point removal — see its
+docstring).  (The reference's empty-frame backfill inserts a score=-100
+dummy prediction per missing frame — those frames carry no GT, so
+``cleanupData`` drops them before matching; no backfill is needed.)
 
 Joint order everywhere below is the COCO-PoseTrack 15-keypoint order
 (nose, head_bottom, head_top, L/R shoulder, elbow, wrist, hip, knee,
@@ -167,11 +169,62 @@ def evaluate_posetrack_ap(frames: Sequence[dict],
     return result
 
 
+def _points_in_polygon(pts: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Even-odd ray-casting point-in-polygon (interior only, matching
+    shapely ``Polygon.contains`` as used by poseval's
+    ``removeIgnoredPointsRects``, ``eval_helpers.py:320-341``).
+    pts (N, 2), poly (V, 2) -> (N,) bool."""
+    x, y = pts[:, 0], pts[:, 1]
+    x0, y0 = poly[:, 0], poly[:, 1]
+    x1 = np.roll(x0, -1)
+    y1 = np.roll(y0, -1)
+    inside = np.zeros(len(pts), bool)
+    for xa, ya, xb, yb in zip(x0, y0, x1, y1):
+        crosses = (ya > y) != (yb > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = xa + (y - ya) * (xb - xa) / (yb - ya)
+        inside ^= crosses & (x < xint)
+    return inside
+
+
+def _ignore_polygons(info: dict) -> List[np.ndarray]:
+    """PoseTrack COCO-style image records carry ignore regions as parallel
+    ``ignore_regions_x`` / ``ignore_regions_y`` coordinate lists (the
+    annolist GT the reference evaluates against exposes the same regions
+    as ``ignore_regions``, consumed by ``removeIgnoredPoints``,
+    ``eval_helpers.py:344``)."""
+    xs = info.get("ignore_regions_x") or []
+    ys = info.get("ignore_regions_y") or []
+    polys = []
+    for rx, ry in zip(xs, ys):
+        if len(rx) >= 3:
+            polys.append(np.stack([np.asarray(rx, np.float64),
+                                   np.asarray(ry, np.float64)], -1))
+    return polys
+
+
 def frames_from_coco(gt_coco, detections: Sequence[dict],
-                     score_thresh: float = -1e9) -> List[dict]:
+                     score_thresh: float = -1e9,
+                     max_dets: Optional[int] = 30) -> List[dict]:
     """Build eval frames from a COCO-PoseTrack GT index + detection dicts
     (detections: image_id, keypoints (J*3 with per-joint score in the v
-    slot), score)."""
+    slot), score).
+
+    Reproduces the official protocol composition the reference reaches
+    through COCOeval + annolist files (``posetrack_video_pose.py:443-512``
+    -> poseval ``load_data_dir``):
+
+    - detections capped to the top ``max_dets`` per image by detection
+      score (COCOeval ``maxDets=[30]``, ``posetrack_video_pose.py:449``);
+    - frames whose GT has no annotated pose are dropped entirely —
+      predictions there never count (poseval ``cleanupData``,
+      ``eval_helpers.py:303-310``);
+    - GT and predicted joints inside the GT ignore regions are removed,
+      and poses left without joints are dropped (poseval
+      ``removeIgnoredPoints``, ``eval_helpers.py:344``) — this runs
+      *after* the empty-frame drop, so a frame whose GT vanishes into an
+      ignore region still penalizes its predictions.
+    """
     by_img: Dict[int, list] = {}
     for det in detections:
         by_img.setdefault(int(det["image_id"]), []).append(det)
@@ -196,12 +249,53 @@ def frames_from_coco(gt_coco, detections: Sequence[dict],
             gts.append(k)
             heads.append([x, y, x + w, y + h])
             gt_tids.append(ann.get("track_id", len(gt_tids)))
+        if not gts:      # cleanupData: frame without annotated GT dropped
+            continue
+        # COCOeval sorts detections by score (stable) and truncates to
+        # maxDets; the ordering also fixes poseval's argmax tie-breaking
+        # in ``assignGTmulti``, so it is part of the protocol
+        dets = sorted(by_img.get(img_id, []),
+                      key=lambda d: -d.get("score", 0.0))
+        if max_dets is not None:
+            dets = dets[:max_dets]
         prs, prs_s, pr_tids = [], [], []
-        for det in by_img.get(img_id, []):
+        for det in dets:
             k = np.asarray(det["keypoints"], np.float64).reshape(-1, 3)
             prs.append(k[:, :2])
             prs_s.append(k[:, 2])
             pr_tids.append(det.get("track_id", len(pr_tids)))
+
+        polys = _ignore_polygons(info)
+        if polys:
+            def ignored(pts2d):
+                out = np.zeros(len(pts2d), bool)
+                for poly in polys:
+                    out |= _points_in_polygon(pts2d, poly)
+                return out
+
+            kept_g = []
+            for g in range(len(gts)):
+                vis = gts[g][:, 2] > 0
+                drop = np.zeros(NUM_JOINTS, bool)
+                drop[vis] = ignored(gts[g][vis, :2])
+                gts[g] = gts[g].copy()
+                gts[g][drop, 2] = 0
+                if (gts[g][:, 2] > 0).any():
+                    kept_g.append(g)
+            gts = [gts[g] for g in kept_g]
+            heads = [heads[g] for g in kept_g]
+            gt_tids = [gt_tids[g] for g in kept_g]
+            kept_p = []
+            for p in range(len(prs)):
+                valid = prs_s[p] > score_thresh
+                drop = np.zeros(NUM_JOINTS, bool)
+                drop[valid] = ignored(prs[p][valid])
+                prs_s[p] = np.where(drop, score_thresh - 1.0, prs_s[p])
+                if (prs_s[p] > score_thresh).any():
+                    kept_p.append(p)
+            prs = [prs[p] for p in kept_p]
+            prs_s = [prs_s[p] for p in kept_p]
+            pr_tids = [pr_tids[p] for p in kept_p]
         J = NUM_JOINTS
         frames.append(dict(
             gt_points=(np.stack(gts) if gts

@@ -23,6 +23,9 @@ class CocoPoseDataset:
     CLASSES = ("person",)
     FLIP_PAIRS = COCO_FLIP_PAIRS
     NUM_KEYPOINTS = 17
+    # which dataset.evaluate protocol applies (reference dispatches by
+    # dataset class; ``posetrack`` adds the poseval per-joint AP chain)
+    EVAL_PROTOCOL = "coco"
 
     num_frames = 1
 

