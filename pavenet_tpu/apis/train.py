@@ -36,7 +36,8 @@ class TrainState:
     ema_params: Any = None  # optional EMA of params (mmcv EMAHook)
 
 
-def _param_label(path: tuple, freeze_backbone_neck: bool = False) -> str:
+def _param_label(path: tuple, freeze_backbone_neck: bool = False,
+                 trainable_bn: bool = False) -> str:
     keys = [getattr(k, "key", str(k)) for k in path]
     joined = "/".join(keys)
     if freeze_backbone_neck and ("backbone" in keys or "neck" in keys):
@@ -44,11 +45,17 @@ def _param_label(path: tuple, freeze_backbone_neck: bool = False) -> str:
         # (reference runs them under no_grad, ``videoposev2.py:56-60``)
         return "frozen"
     if "backbone" in keys:
-        # frozen pieces: stem + stage 1 + every BatchNorm affine
-        if any(k.startswith(("conv1", "bn1", "layer1_")) for k in keys):
+        # frozen pieces: stem + stage 1 (frozen_stages=1 in every config).
+        # Only the backbone's *direct child* decides — every block has an
+        # inner module named bn1/conv1 that must not match.
+        child = keys[keys.index("backbone") + 1]
+        if child.startswith(("conv1", "bn1", "layer1_")):
             return "frozen"
         if "/bn" in joined or "downsample_bn" in joined:
-            return "frozen"
+            # frozen-BN configs freeze the affines; trainable-BN (DK-DETR
+            # SyncBN requires_grad=True) trains them at backbone lr with
+            # norm_decay_mult=0 (``dkd_r50_70e_lvis.py:179``)
+            return "backbone_norm" if trainable_bn else "frozen"
         return "backbone"
     if "sampling_offsets" in keys or "reference_points" in keys:
         return "slow"
@@ -121,23 +128,26 @@ def build_optimizer(params,
                     accumulate_steps: int = 8,
                     backbone_lr_mult: float = 0.1,
                     offsets_lr_mult: float = 0.1,
-                    freeze_backbone_neck: bool = False):
+                    freeze_backbone_neck: bool = False,
+                    trainable_bn: bool = False):
     """AdamW with per-group lr multipliers + clip + accumulation."""
-    def adamw(mult):
+    def adamw(mult, wd=weight_decay):
         if callable(learning_rate):
             lr = lambda t: learning_rate(t) * mult
         else:
             lr = learning_rate * mult
         return optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
-                           weight_decay=weight_decay)
+                           weight_decay=wd)
 
     labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: _param_label(path, freeze_backbone_neck), params)
+        lambda path, _: _param_label(path, freeze_backbone_neck,
+                                     trainable_bn), params)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.multi_transform(
             {"base": adamw(1.0),
              "backbone": adamw(backbone_lr_mult),
+             "backbone_norm": adamw(backbone_lr_mult, wd=0.0),
              "slow": adamw(offsets_lr_mult),
              "frozen": optax.set_to_zero()},
             labels),
@@ -178,17 +188,32 @@ def make_train_step(model, tx, mesh=None, axis_name: str = "data",
     and the optimizer all run inside the single jit — no host round trips
     (the reference crossed to CPU per image per decoder layer for scipy
     Hungarian; SURVEY.md §3.1).
+
+    Models with trainable BatchNorm (``norm_eval=False``, DK-DETR) update
+    their ``batch_stats`` in the step; frozen-BN models (every pose
+    production config) leave them untouched.
     """
+    trainable_bn = not getattr(model, "norm_eval", True)
+
     def step_fn(state: TrainState, batch):
         rng, dropout_key = jax.random.split(state.rng)
 
         def loss_fn(params):
-            losses = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True, rngs={"dropout": dropout_key})
-            return losses["loss"], losses
+            variables = {"params": params,
+                         "batch_stats": state.batch_stats}
+            if trainable_bn:
+                losses, mutated = model.apply(
+                    variables, batch, train=True,
+                    rngs={"dropout": dropout_key},
+                    mutable=["batch_stats"])
+                new_stats = mutated["batch_stats"]
+            else:
+                losses = model.apply(variables, batch, train=True,
+                                     rngs={"dropout": dropout_key})
+                new_stats = state.batch_stats
+            return losses["loss"], (losses, new_stats)
 
-        (_, losses), grads = jax.value_and_grad(
+        (_, (losses, batch_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -198,6 +223,7 @@ def make_train_step(model, tx, mesh=None, axis_name: str = "data",
                 lambda e, p: e * ema_decay + p * (1 - ema_decay),
                 ema, params)
         new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=batch_stats,
                                   opt_state=opt_state, rng=rng,
                                   ema_params=ema)
         return new_state, losses

@@ -137,6 +137,7 @@ class COCODetEval(COCOKeypointEval):
         rec_thrs = np.linspace(0, 1, 101)
         results = {}
         per_area = {}
+        self.per_cat_ap = {}   # cat_id -> mean AP at area 'all' (LVIS bands)
         for area_name, area_rng in self.area_rngs.items():
             ap_cats, ar_cats = [], []
             for cat in cat_ids:
@@ -172,6 +173,8 @@ class COCODetEval(COCOKeypointEval):
                         [pr[i] if i < len(pr) else 0 for i in inds])
                 ap_cats.append(ap)
                 ar_cats.append(ar)
+                if area_name == "all":
+                    self.per_cat_ap[cat] = float(np.mean(ap))
             if ap_cats:
                 per_area[area_name] = (np.mean(ap_cats, 0),
                                        np.mean(ar_cats, 0))

@@ -162,7 +162,20 @@ def _build_soit(cfg, train_cfg, test_cfg, dtype):
         return train_cfg.get("assigner", {}).get(name, {}).get(
             "weight", default)
 
+    # DK-DETR (``dkd_r50_70e_lvis.py``): cosine text-embedding cls
+    # branches (text_encoder.text_dim, temperature) + trainable backbone
+    # BN (SyncBN requires_grad=True, norm_eval=False -> norm_eval=False;
+    # the cross-device stat sync falls out of the pjit-sharded batch axis)
+    dk_kwargs = {}
+    if _type_name(cfg) == "DKDETR":
+        text_enc = cfg.get("text_encoder", {})
+        dk_kwargs = dict(
+            cls_emb_dim=text_enc.get("text_dim", 512),
+            temperature=cfg.get("temperature", 0.05))
+
     return SOITDetector(
+        norm_eval=backbone.get("norm_eval", True),
+        **dk_kwargs,
         num_classes=head.get("num_classes", 80),
         num_query=head.get("num_query", 300),
         backbone_depth=backbone.get("depth", 50),

@@ -173,6 +173,9 @@ class SOITDetector(nn.Module):
     num_query: int = 300
     max_gt: int = 30
     backbone_depth: int = 50
+    # DK-DETR trains its backbone BN (``dkd_r50_70e_lvis.py:14`` SyncBN
+    # requires_grad=True, norm_eval=False); SOIT keeps frozen BN
+    norm_eval: bool = True
     embed_dims: int = 256
     num_encoder_layers: int = 6
     num_decoder_layers: int = 6
@@ -202,6 +205,7 @@ class SOITDetector(nn.Module):
     def setup(self):
         C = self.embed_dims
         self.backbone = ResNet(depth=self.backbone_depth,
+                               norm_eval=self.norm_eval,
                                out_indices=(1, 2, 3), dtype=self.dtype,
                                name="backbone")
         self.neck = ChannelMapper(out_channels=C, num_outs=self.num_levels,
@@ -286,7 +290,7 @@ class SOITDetector(nn.Module):
     def forward_outputs(self, img, img_shape, deterministic=True,
                         text_feats=None):
         B, H, W, _ = img.shape
-        feats = self.neck(self.backbone(img))
+        feats = self.neck(self.backbone(img, train=not deterministic))
         shapes: Shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
         from .videopose import VideoPoseDetector
         mlvl_masks, valid_ratios = VideoPoseDetector.level_masks(

@@ -150,13 +150,15 @@ class VideoPoseDetector(nn.Module):
             impl=self.impl, dtype=self.dtype, name="head")
 
     # ------------------------------------------------------------------
-    def extract_feats(self, img):
+    def extract_feats(self, img, train: bool = False):
         """(B, T, H, W, 3) -> list of (B, T, h, w, C) pyramid levels.
 
         Frame axis folded into batch through backbone+neck (reference
         ``mmdet/models/backbones/resnet.py:634-640``)."""
         B, T, H, W, _ = img.shape
-        x = self.backbone(img.reshape(B * T, H, W, 3))
+        img = img.reshape(B * T, H, W, 3)
+        x = (self.backbone(img, train=train)
+             if self.backbone_type == "resnet" else self.backbone(img))
         if self.backbone_type == "hrnet":
             # HRNet emits all branch maps; PETR's neck takes the last 3
             x = [x[i] for i in self.backbone_out_indices]
@@ -191,7 +193,7 @@ class VideoPoseDetector(nn.Module):
 
     def forward_outputs(self, img, img_shape, deterministic=True,
                         return_heatmap=False):
-        feats = self.extract_feats(img)
+        feats = self.extract_feats(img, train=not deterministic)
         level_shapes = tuple((f.shape[2], f.shape[3]) for f in feats)
         mlvl_masks, valid_ratios = self.level_masks(
             img_shape, img.shape[2:4], level_shapes)

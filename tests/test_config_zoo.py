@@ -106,3 +106,65 @@ def test_petr_hrnet_config():
     _assert_same_module(built, zoo.petr_r50_coco(
         backbone_type="hrnet", hrnet_width=48,
         backbone_out_indices=(1, 2, 3)))
+
+
+def test_dkdetr_lvis_config():
+    from pavenet_tpu.models.detectors.soit import SOITDetector
+    cfg = _cfg("dk-detr/dkd_r50_70e_lvis.py")
+    built = build_detector(cfg.model)
+    assert isinstance(built, SOITDetector)
+    assert built.num_classes == 1203
+    assert built.cls_emb_dim == 512          # text-embedding cls branch
+    assert built.temperature == 0.05
+    assert built.norm_eval is False          # trainable (Sync)BN
+    assert built.max_per_img == 300
+    # the LVIS train pipeline wraps the dataset in repeat-factor sampling
+    assert cfg.data.train.type == "opera.ClassBalancedDataset"
+    assert cfg.data.train.oversample_thr == 1e-3
+    assert cfg.data.train.dataset.type == "opera.LVISV1Dataset"
+
+
+@pytest.mark.parametrize("name,ds_type", [
+    ("dkd_r50_70e_test_coco.py", "opera.CocoDataset"),
+    ("dkd_r50_70e_test_obj365.py", "opera.Objects365Dataset"),
+    ("dkd_r50_70e_test_voc.py", "opera.VOCDataset"),
+])
+def test_dkdetr_transfer_configs(name, ds_type):
+    cfg = _cfg(f"dk-detr/{name}")
+    built = build_detector(cfg.model)
+    assert built.cls_emb_dim == 512
+    assert cfg.data.train is None
+    assert cfg.data.test.type == ds_type
+
+
+@pytest.mark.parametrize("tag,frames", [
+    ("r50", 3), ("r50", 5), ("swin", 3), ("swin", 5), ("hrnet", 3)])
+def test_stage2_pretrain_configs(tag, frames):
+    """Stage-2 fake-clip COCO video pretraining (SURVEY Appendix C):
+    video model at K=17 over CocoVideoPoseDataset clips."""
+    cfg = _cfg(f"petr/pretrained/petr_{tag}_num_frame_{frames}"
+               "_bs16_20e_coco_rle.py")
+    built = build_detector(cfg.model)
+    assert built.num_frames == frames
+    assert built.num_keypoints == 17
+    assert built.kpt_loss == "rle"
+    assert built.backbone_type == {"r50": "resnet", "swin": "swin",
+                                   "hrnet": "hrnet"}[tag]
+    assert cfg.data.train.type == "opera.CocoVideoPoseDataset"
+    assert cfg.data.train.num_frames == frames
+    assert cfg.optimizer_config.cumulative_iters == 16
+    assert cfg.lr_config.step == [15]
+
+
+def test_every_shipped_config_builds():
+    """Every config under configs/ (excl. _base_ fragments) must at least
+    build its model through the config loader + builder."""
+    import glob
+    files = sorted(glob.glob(os.path.join(CFG, "**", "*.py"),
+                             recursive=True))
+    files = [f for f in files if os.sep + "_base_" + os.sep not in f]
+    assert len(files) >= 21, files
+    for f in files:
+        cfg = Config.fromfile(f)
+        assert "model" in cfg, f
+        build_detector(cfg.model)

@@ -2,6 +2,7 @@
 import numpy as np
 import pytest
 import jax
+import jax.numpy as jnp
 
 from pavenet_tpu.models.detectors.soit import SOITDetector
 
@@ -46,3 +47,108 @@ def test_pseudo_text_encoder(tmp_path):
     np.save(path, feats)
     enc = PseudoTextEncoder(str(path), text_dim=16)
     np.testing.assert_array_equal(enc.get_text_feat(), feats)
+
+
+# ---------------------------------------------------------------------
+# Trainable backbone BN (DK-DETR: SyncBN requires_grad=True,
+# norm_eval=False — ``dkd_r50_70e_lvis.py:14``)
+# ---------------------------------------------------------------------
+def test_trainable_bn_resnet_matches_torch():
+    """norm_eval=False ResNet in train mode vs the reference mmdet ResNet
+    (BN requires_grad=True, norm_eval=False, frozen_stages=1, .train()):
+    full-backbone activation parity on converted weights — batch-stat
+    normalization everywhere except the frozen stem/stage1, which mmdet
+    keeps in eval mode."""
+    torch = pytest.importorskip("torch")
+    import sys
+    from reference_oracle import install_stubs, REFERENCE_ROOT
+    install_stubs()
+    for p in (f"{REFERENCE_ROOT}/third_party/mmdetection", REFERENCE_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from mmdet.models.backbones.resnet import ResNet as RefResNet
+    from pavenet_tpu.models.backbones.resnet import ResNet
+    from pavenet_tpu.utils.weight_convert import _resnet, _StateDict
+
+    torch.manual_seed(0)
+    ref = RefResNet(depth=18, num_stages=4, out_indices=(0, 1, 2, 3),
+                    frozen_stages=1,
+                    norm_cfg=dict(type="BN", requires_grad=True),
+                    norm_eval=False, style="pytorch")
+    ref.init_weights()
+    ref.train()   # trainable BN active, stem/stage1 re-frozen to eval
+
+    # .copy(): .numpy() aliases the live torch buffers, and the torch
+    # forward below updates running stats in place — without the copy the
+    # "pre-forward" stats silently become post-forward ones
+    sd = _StateDict({f"backbone.{k}": v.detach().numpy().copy()
+                     for k, v in ref.state_dict().items()})
+    params, stats = _resnet(sd, 18)
+
+    model = ResNet(depth=18, out_indices=(0, 1, 2, 3), norm_eval=False,
+                   frozen_stages=1)
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        want = [o.numpy() for o in ref(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)))]
+    got, mutated = model.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x),
+        train=True, mutable=["batch_stats"])
+    for lvl, (g, w) in enumerate(zip(got, want)):
+        g = np.asarray(g).transpose(0, 3, 1, 2)
+        assert g.shape == w.shape, (lvl, g.shape, w.shape)
+        err = np.abs(g - w).max()
+        assert err < 2e-3, (lvl, err)
+    # frozen stem stats untouched; trainable stage stats updated
+    assert np.allclose(mutated["batch_stats"]["bn1"]["mean"],
+                       np.asarray(stats["bn1"]["mean"]))
+    assert not np.allclose(mutated["batch_stats"]["layer2_0"]["bn1"]["mean"],
+                           np.asarray(stats["layer2_0"]["bn1"]["mean"]))
+    # running-stat update matches torch momentum semantics: run the torch
+    # model once more so both sides have taken exactly one train step
+    ref_bn = dict(ref.named_modules())["layer2.0.bn1"]
+    got_mean = np.asarray(mutated["batch_stats"]["layer2_0"]["bn1"]["mean"])
+    want_mean = ref_bn.running_mean.detach().numpy()
+    assert np.abs(got_mean - want_mean).max() < 1e-4
+
+
+def test_trainable_bn_train_step_updates_stats():
+    """make_train_step with a norm_eval=False model threads the mutated
+    batch_stats through TrainState (frozen-BN models keep them fixed)."""
+    from pavenet_tpu.apis.train import create_train_state, make_train_step
+    from pavenet_tpu.models.detectors.soit import SOITDetector
+
+    model = SOITDetector(
+        num_classes=3, num_query=8, max_gt=2, backbone_depth=18,
+        embed_dims=32, num_encoder_layers=1, num_decoder_layers=1,
+        feedforward_channels=64, max_per_img=4, norm_eval=False)
+    rng = np.random.RandomState(0)
+    B, H, W, G = 1, 48, 64, 2
+    boxes = np.array([[[4, 4, 30, 30], [20, 10, 50, 40]]], np.float32)
+    batch = dict(
+        img=rng.randn(B, H, W, 3).astype(np.float32),
+        img_shape=np.array([[H, W]], np.int32),
+        scale_factor=np.ones((B, 2), np.float32),
+        gt_boxes=boxes,
+        gt_labels=np.zeros((B, G), np.int64),
+        gt_masks=(rng.rand(B, G, H, W) > 0.7).astype(np.float32),
+        gt_valid=np.ones((B, G), bool),
+    )
+    state, tx = create_train_state(
+        model, batch, tx_kwargs=dict(accumulate_steps=1,
+                                     learning_rate=1e-4,
+                                     trainable_bn=True))
+    step = make_train_step(model, tx, donate=False)
+    before = jax.tree.map(np.asarray, state.batch_stats)
+    state2, losses = step(state, batch)
+    after = jax.tree.map(np.asarray, state2.batch_stats)
+    for k in losses:
+        assert np.isfinite(float(losses[k])), k
+    diff = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                        before, after)
+    assert max(jax.tree.leaves(diff)) > 0, "batch_stats did not update"
+    # BN affines beyond the frozen stem/stage1 received updates
+    p0 = np.asarray(state.params["backbone"]["layer2_0"]["bn1"]["scale"])
+    p1 = np.asarray(state2.params["backbone"]["layer2_0"]["bn1"]["scale"])
+    assert np.abs(p0 - p1).max() > 0, "trainable BN affine frozen"
