@@ -62,3 +62,62 @@ def test_loader_shards_are_disjoint_and_cover():
         seen.append([int(b["image_id"][0]) for b in loader])
     assert not set(seen[0]) & set(seen[1])
     assert sorted(seen[0] + seen[1]) == list(range(10))
+
+
+def test_dp8_step_equals_single_device_step():
+    """An 8-device data-parallel train step must equal the single-device
+    step on the same global batch — losses each step and params after a
+    gradient-accumulation boundary (the reference's DDP all-reduce +
+    ``reduce_mean`` semantics, ``opera/apis/train.py:157-162``,
+    ``videopose_head_mul_frames.py:687-690``; under pjit the equivalence
+    is exact up to reduction order)."""
+    from pavenet_tpu.models.zoo import pavenet_r50_frames3, dummy_clip_batch
+    from pavenet_tpu.apis.train import create_train_state, make_train_step
+
+    model = pavenet_r50_frames3(
+        backbone_depth=18, embed_dims=32, num_encoder_layers=1,
+        num_decoder_layers=1, num_refine_layers=1, num_query=12, max_gt=3,
+        feedforward_channels=64, dropout=0.0)
+    rng = np.random.RandomState(0)
+    batch1 = dummy_clip_batch(rng, batch_size=8, height=64, width=96,
+                              max_gt=3, train=True)
+    batch2 = dummy_clip_batch(rng, batch_size=8, height=64, width=96,
+                              max_gt=3, train=True)
+
+    state0, tx = create_train_state(
+        model, batch1, seed=0,
+        tx_kwargs=dict(accumulate_steps=2, learning_rate=1e-4))
+
+    step_single = make_train_step(model, tx, donate=False)
+    mesh = make_mesh(jax.devices()[:8])
+    step_dp = make_train_step(model, tx, mesh=mesh, donate=False)
+
+    sA, lA1 = step_single(state0, batch1)
+    sA, lA2 = step_single(sA, batch2)
+
+    sB, lB1 = step_dp(state0, put_batch(batch1, mesh))
+    sB, lB2 = step_dp(sB, put_batch(batch2, mesh))
+
+    for (la, lb) in ((lA1, lB1), (lA2, lB2)):
+        for k in la:
+            a, b = float(la[k]), float(lb[k])
+            assert abs(a - b) < 1e-4 + 1e-4 * abs(a), (k, a, b)
+
+    # params after the accumulation boundary (step 2 applies the update):
+    # gradient psum-by-sharding must reproduce the single-device grads
+    flatA = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, sA.params))[0]
+    flatB = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, sB.params))[0]
+    assert len(flatA) == len(flatB)
+    for (pa, a), (pb, b) in zip(flatA, flatB):
+        assert pa == pb
+        np.testing.assert_allclose(
+            a, b, atol=5e-5, rtol=5e-4,
+            err_msg="/".join(getattr(k, "key", str(k)) for k in pa))
+    # the updates actually moved the params (boundary was crossed)
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda p0, p1: float(np.abs(np.asarray(p0)
+                                    - np.asarray(p1)).max()),
+        state0.params, sA.params))
+    assert max(moved) > 0
