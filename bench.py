@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    parser.add_argument("--latency-samples", type=int, default=10,
+                        help="host-timed single dispatches for p50/p90")
+    parser.add_argument("--b2", action=argparse.BooleanOptionalAction,
+                        default=True, help="also measure a batch=2 row")
     args = parser.parse_args()
 
     import jax
@@ -85,11 +89,43 @@ def main():
     per_iter = total / args.iters
     clips_per_sec = args.batch / per_iter
 
+    # p50/p90 end-to-end dispatch latency: host-timed single dispatches
+    # (includes the ~25-30 ms axon tunnel round trip — labeled as such;
+    # the in-jit loop above is the pure device number).  "Per frame"
+    # follows the driver's convention clip/T; note the sliding-window
+    # protocol runs one T-frame clip per output frame, so the honest
+    # per-output-frame latency is the clip time itself (also reported).
+    T = getattr(model, "num_frames", 3)
+    samples = []
+    for _ in range(args.latency_samples):
+        t0 = time.time()
+        sync(infer(variables, batch))
+        samples.append(time.time() - t0)
+    p50_clip = float(np.percentile(samples, 50)) * 1e3
+    p90_clip = float(np.percentile(samples, 90)) * 1e3
+
+    # B>1 scaling row (the gather pipeline measured throughput-saturated
+    # at B=2 in round 2; keep the datapoint current every round)
+    b2_clips_per_sec = None
+    if args.b2:
+        batch2 = dummy_clip_batch(rng, batch_size=2, height=args.height,
+                                  width=args.width)
+        batch2 = jax.device_put(batch2)
+        jax.block_until_ready(batch2)
+        float(np.asarray(loop(variables, batch2)))  # retrace + first run
+        t0 = time.time()
+        float(np.asarray(loop(variables, batch2)))
+        b2_clips_per_sec = 2 * args.iters / (time.time() - t0)
+
     print(f"# init {init_s:.1f}s, single-call compile {compile_s:.1f}s, "
           f"loop compile {loop_compile_s:.1f}s, "
           f"device time/clip {per_iter*1e3:.2f}ms over {args.iters} "
           f"in-jit iters, bucket {args.height}x{args.width}, "
-          f"batch {args.batch}, dtype {args.dtype}", flush=True)
+          f"batch {args.batch}, dtype {args.dtype}; host-dispatch p50 "
+          f"{p50_clip:.1f}ms / p90 {p90_clip:.1f}ms per clip "
+          f"(incl. tunnel), T={T}"
+          + (f"; B=2 {b2_clips_per_sec:.3f} clips/s"
+             if b2_clips_per_sec else ""), flush=True)
     baseline = 0.0169  # reference torch on host CPU (BASELINE.json)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
@@ -98,6 +134,20 @@ def main():
                 "reference_torch_cpu_clips_per_sec"]
     except Exception:
         pass
+    extra = {
+        # steady-state device time; "frame" = clip/T per the driver's
+        # metric convention (the sliding-window protocol runs one clip
+        # per output frame — that per-output-frame number is *_clip_ms)
+        "device_clip_ms": round(per_iter * 1e3, 2),
+        "device_frame_ms": round(per_iter * 1e3 / T, 2),
+        # host-timed single dispatches (incl. ~25-30 ms tunnel RTT)
+        "p50_clip_ms": round(p50_clip, 1),
+        "p90_clip_ms": round(p90_clip, 1),
+        "p50_frame_ms": round(p50_clip / T, 1),
+        "p90_frame_ms": round(p90_clip / T, 1),
+    }
+    if b2_clips_per_sec is not None:
+        extra["b2_clips_per_sec"] = round(b2_clips_per_sec, 3)
     print(json.dumps({
         "metric": "pavenet_r50_frames3_clips_per_sec",
         "value": round(clips_per_sec, 3),
@@ -105,6 +155,7 @@ def main():
         # ratio to the measured reference-torch-on-host-CPU baseline
         # (no GPU exists here; see BASELINE.md "Measured baseline")
         "vs_baseline": round(clips_per_sec / baseline, 2),
+        **extra,
     }), flush=True)
 
 
