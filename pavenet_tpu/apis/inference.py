@@ -41,10 +41,13 @@ def init_detector(config: Union[str, Config],
             from ..utils.checkpoint import restore_checkpoint
             from ..models.zoo import dummy_clip_batch
             rng = np.random.RandomState(0)
+            # the param tree does not depend on the GT pad; clamp to
+            # num_query so the Hungarian assigner's R <= C holds even for
+            # small-query debug configs
             dummy = dummy_clip_batch(
                 rng, num_frames=model.num_frames, height=256, width=448,
-                num_keypoints=model.num_keypoints, max_gt=model.max_gt,
-                train=True)
+                num_keypoints=model.num_keypoints,
+                max_gt=min(model.max_gt, model.num_query), train=True)
             state, _ = create_train_state(model, dummy, seed=0)
             state = restore_checkpoint(checkpoint, state)
             variables = {"params": state.params,

@@ -242,7 +242,7 @@ def _msda_xla_bwd(spatial_shapes, res, g):
 ms_deform_attn_xla.defvjp(_msda_xla_fwd, _msda_xla_bwd)
 
 
-def _wrap_can_overflow(lq, query_shapes, multiple=32):
+def _wrap_can_overflow(lq, query_shapes, sampled_shapes=None, multiple=32):
     """Can a 32-query chunk of query level ``lq`` that straddles a row
     wrap overflow the kernels' 4-tile static probe window on some sampled
     level?  Worst-case window (tokens) for sampled level with width Ws and
@@ -250,17 +250,25 @@ def _wrap_can_overflow(lq, query_shapes, multiple=32):
     the 2x2 bilinear footprint ``Ws + 1`` plus the wrap's row jump
     ``r * Ws``.  Finest-level queries (r <= 1 everywhere) never overflow
     and should not pay the ~14% pad-query cost (measured: aligning all
-    levels REGRESSED the flagship clip 237 -> 265 ms)."""
+    levels REGRESSED the flagship clip 237 -> 265 ms).
+
+    ``sampled_shapes``: the *value* raster per level (spatial_shapes).
+    Defaults to ``query_shapes`` (true for encoder self-attention, the
+    only in-model user), but callers whose query raster differs from the
+    value levels must pass it for a correct estimate."""
     from .pallas.msda import LANE, STATIC_PROBES
+    if sampled_shapes is None:
+        sampled_shapes = query_shapes
     Wq = query_shapes[lq][1]
     worst = max(multiple * max(1, Ws // Wq) + Ws + 1
                 + max(1, Ws // Wq) * Ws
-                for (_, Ws) in query_shapes)
+                for (_, Ws) in sampled_shapes)
     # tmax - tmin <= (worst + LANE - 1) // LANE; tail fires at >= 4
     return (worst + LANE - 1) // LANE >= STATIC_PROBES
 
 
-def _row_align(query_shapes, locations, weights, multiple=32):
+def _row_align(query_shapes, locations, weights, multiple=32,
+               sampled_shapes=None):
     """Pad each level's query rows to a multiple of ``multiple`` queries.
 
     The Pallas kernels chunk 32 consecutive queries; when encoder
@@ -286,7 +294,8 @@ def _row_align(query_shapes, locations, weights, multiple=32):
     for lq, (Hl, Wl) in enumerate(query_shapes):
         n = Hl * Wl
         Wp = (-(-Wl // multiple) * multiple
-              if _wrap_can_overflow(lq, query_shapes) else Wl)
+              if _wrap_can_overflow(lq, query_shapes, sampled_shapes)
+              else Wl)
         lseg = locations[:, start:start + n].reshape(
             (B, Hl, Wl, H) + trail_l)
         wseg = weights[:, start:start + n].reshape((B, Hl, Wl, H) + trail_w)
@@ -298,10 +307,27 @@ def _row_align(query_shapes, locations, weights, multiple=32):
             wseg = jnp.concatenate(
                 [wseg, jnp.zeros((B, Hl, pad, H) + trail_w, wseg.dtype)],
                 axis=2)
-        locs_parts.append(lseg.reshape((B, Hl * Wp, H) + trail_l))
-        w_parts.append(wseg.reshape((B, Hl * Wp, H) + trail_w))
+        lseg = lseg.reshape((B, Hl * Wp, H) + trail_l)
+        wseg = wseg.reshape((B, Hl * Wp, H) + trail_w)
+        # Round the segment to a chunk boundary so the NEXT level starts
+        # chunk-aligned: an unpadded level whose Hl*Wl is not a multiple
+        # of ``multiple`` (e.g. level 0 of the 800x1120 bucket, 100*140 =
+        # 14000 tokens) would otherwise leave every later row-padded
+        # level starting mid-chunk — chunks still straddle row wraps and
+        # the pad-query cost buys nothing.  <32 inert queries per level.
+        tail = (-(Hl * Wp)) % multiple
+        if tail:
+            lseg = jnp.concatenate(
+                [lseg, jnp.broadcast_to(lseg[:, -1:],
+                                        (B, tail, H) + trail_l)], axis=1)
+            wseg = jnp.concatenate(
+                [wseg, jnp.zeros((B, tail, H) + trail_w, wseg.dtype)],
+                axis=1)
+        locs_parts.append(lseg)
+        w_parts.append(wseg)
         segs.append((pstart, Hl, Wl, Wp))
-        pstart += Hl * Wp
+        assert pstart % multiple == 0
+        pstart += Hl * Wp + tail
         start += n
     return (jnp.concatenate(locs_parts, 1), jnp.concatenate(w_parts, 1),
             segs)
@@ -364,11 +390,13 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
             # msda.py fused backward (see msda_cs._bwd for the Mosaic
             # note).
             from .pallas.msda_cs import ms_deform_attn_cs as kern
+        sampled = _as_static_shapes(spatial_shapes)
         if query_shapes is not None and any(
-                _wrap_can_overflow(lq, query_shapes)
+                _wrap_can_overflow(lq, query_shapes, sampled)
                 for lq in range(len(query_shapes))):
             locs, wts, segs = _row_align(
-                query_shapes, sampling_locations, attention_weights)
+                query_shapes, sampling_locations, attention_weights,
+                sampled_shapes=sampled)
             out = kern(value, spatial_shapes, locs, wts)
             return _row_unalign(out, segs)
         return kern(value, spatial_shapes, sampling_locations,

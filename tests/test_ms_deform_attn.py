@@ -174,7 +174,41 @@ def test_row_align_is_exact():
 
     out_d, vjp_d = jax.vjp(direct, v, loc, w)
     out_a, vjp_a = jax.vjp(aligned, v, loc, w)
-    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_d))
+    # tiny atol rather than bitwise: the two XLA programs have different
+    # shapes and the compiler may order reductions differently
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_d),
+                               atol=1e-6)
     for a, d, name in zip(vjp_a(g), vjp_d(g), ("gval", "gloc", "gattn")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(d),
                                    atol=1e-6, err_msg=name)
+
+
+def test_row_align_levels_start_chunk_aligned():
+    """Every level segment must start on a chunk boundary even when an
+    earlier (unpadded) level's token count is not a multiple of the chunk
+    size — e.g. the 800x1120 bucket's level 0 (100x140 = 14000 tokens);
+    otherwise later padded levels start mid-chunk and their chunks still
+    straddle row wraps."""
+    from pavenet_tpu.ops.ms_deform_attn import (
+        ms_deform_attn_xla, _row_align, _row_unalign, _wrap_can_overflow)
+
+    # level 0: wide raster, never padded (finest), 25*35=875 tokens (not
+    # a multiple of 32); levels 1-2 coarse enough to trigger padding
+    SH = ((25, 35), (13, 18), (7, 9))
+    assert not _wrap_can_overflow(0, SH)
+    assert (25 * 35) % 32 != 0
+    N = sum(h * w for h, w in SH)
+    rng = np.random.RandomState(5)
+    v = jnp.asarray(rng.randn(1, N, 2, 8), jnp.float32)
+    loc = jnp.asarray(rng.rand(1, N, 2, 3, 4, 2), jnp.float32)
+    w = rng.rand(1, N, 2, 3, 4).astype(np.float32)
+    w = jnp.asarray(w / w.sum((-1, -2), keepdims=True))
+
+    lp, wp, segs = _row_align(SH, loc, w)
+    for (pstart, Hl, Wl, Wp) in segs:
+        assert pstart % 32 == 0, segs
+    # and the re-layout stays exact
+    out_a = _row_unalign(ms_deform_attn_xla(v, SH, lp, wp), segs)
+    out_d = ms_deform_attn_xla(v, SH, loc, w)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_d),
+                               atol=1e-6)
