@@ -354,14 +354,14 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
     use the XLA block-gather formulation.  All are exact (tested to 1e-7)
     and all have fused custom backwards.
 
-    At inference 'auto' resolves to the second-generation corner-stream
-    kernel ('cs', pallas/msda_cs.py — native-layout prep, 1.2-1.7x the
-    first-gen forward); under training it resolves to the first-gen
-    kernel ('pallas'): the cs backward currently delegates to the
-    first-gen fused backward, and pairing a cs forward with it defeats
-    the fwd/bwd prep CSE inside the one-program train step (measured
-    1.61 -> 1.67 s/step).  Pass ``training=True`` from modules when
-    gradients will flow (e.g. ``not deterministic``).
+    'auto' resolves to the second-generation corner-stream kernel ('cs',
+    pallas/msda_cs.py — native-layout prep, 1.2-1.7x the first-gen
+    forward) in BOTH modes since round 3: the round-2 quarantine of its
+    native backward is lifted (the corruption was an XLA prep-fusion
+    miscompile, not the kernel — see msda_cs._prep_streams), and the
+    native cs backward measures 425 vs 614 ms/call against the first-gen
+    fwd+grad at f32 encoder scale.  ``training`` is kept in the
+    signature for call-site clarity and A/B harnesses.
 
     ``query_shapes``: per-level (H, W) of the *query* raster when queries
     are flattened multi-level tokens in raster order (encoder self-attn).
@@ -377,7 +377,7 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
         # decoder gathers with other work) and costs a pathological
         # ~40 min Mosaic compile for the extra kernel specialization.
         if P == 4 and _jax.default_backend() == "tpu":
-            impl = "pallas" if training else "cs"
+            impl = "cs"
         else:
             impl = "xla"
     if impl in ("pallas", "cs"):

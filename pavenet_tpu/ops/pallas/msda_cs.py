@@ -84,7 +84,20 @@ def _stream_weights(spatial_shapes, locations, weights):
 def _prep_streams(spatial_shapes, locations, weights, tile_base):
     """Native-layout corner streams: base/dx/dy/attn, each
     (BH, L, NCB, CB, 1, LANE); plus per-chunk tile windows and the SMEM
-    Wl table.  No corner interleave anywhere."""
+    Wl table.  No corner interleave anywhere.
+
+    The inputs are fenced with ``optimization_barrier``: when the same
+    ``weights`` array also feeds the ``_stream_weights`` vjp in one
+    program (the native backward), XLA:TPU miscompiles the attn stream's
+    stack/reshape fusion — the kernel then receives a *wrong* ``at``
+    stream (maxdiff ~0.2 on fuzzed inputs) while every other stream stays
+    bitwise-exact.  Pallas is not involved: the pure-XLA repro and the
+    bisect live in ``tools/perf/debug_xla_prep_miscompile.py``.  The
+    barrier isolates the prep's producer fusion from the vjp's consumers
+    and costs nothing (the streams are materialized as kernel operands
+    anyway).  This was the round-2 "cs backward quarantine"; the dynamic
+    RMW scatter originally blamed was exact all along."""
+    locations, weights = jax.lax.optimization_barrier((locations, weights))
     B, Q, H, L, P, _ = locations.shape
     NC = Q * P // LANE
 
@@ -491,18 +504,14 @@ def _fwd(value, spatial_shapes, sampling_locations, attention_weights):
 
 def _bwd(spatial_shapes, res, g):
     value, locs, weights = res
-    # The native corner-stream backward (``_backward`` above) miscompiles
-    # on v5e Mosaic: its dynamic ``gval_ref[0, t] +=`` scatter lands out of
-    # place in program variants where XLA CSEs the prep with surrounding
-    # work (observed: gval corrupted at the last level's tiles — and a
-    # hard TPU worker crash — whenever the g_loc vjp is live in the same
-    # program, while the statically-indexed vdot/g_loc stay exact; the
-    # same RMW pattern is stable in msda.py's backward).  Until that is
-    # pinned, route the VJP through the first-generation fused backward —
-    # it recomputes everything it needs from (value, locs, weights, g), so
-    # the pairing is exact and the forward keeps the corner-stream prep.
-    from .msda import _backward as _msda_backward
-    return _msda_backward(value, spatial_shapes, locs, weights, g)
+    # Native corner-stream backward.  The round-2 quarantine ("dynamic
+    # gval RMW miscompiles") is lifted: the real culprit was an XLA:TPU
+    # fusion miscompile of the XLA-side attn-stream prep whenever the
+    # same weights fed the _stream_weights vjp in one program — the
+    # kernel's scatter was exact all along.  _prep_streams now fences its
+    # inputs with optimization_barrier (see its docstring and
+    # tools/perf/debug_xla_prep_miscompile.py for the pure-XLA repro).
+    return _backward(value, spatial_shapes, locs, weights, g)
 
 
 ms_deform_attn_cs.defvjp(_fwd, _bwd)
