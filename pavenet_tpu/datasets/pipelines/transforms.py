@@ -400,14 +400,16 @@ def build_train_pipeline(img_norm_mean=(123.675, 116.28, 103.53),
                          max_rotate_degree=30.0,
                          flip_ratio=0.5,
                          scale_range=((400, 1200), (1200, 1200)),
+                         photometric=True,
                          buckets=DEFAULT_BUCKETS) -> Compose:
     """Production train chain (PoseTrack config, SURVEY.md §2.1):
     load -> photometric -> shared affine -> flip -> multi-scale resize ->
     normalize -> bucket pad -> format.  (The AutoAugment crop policy branch
     is provided by RandomCrop; wiring both policies is config-level.)"""
-    return Compose([
-        LoadClip(),
-        PhotoMetricDistortion(),
+    steps = [LoadClip()]
+    if photometric:
+        steps.append(PhotoMetricDistortion())
+    return Compose(steps + [
         KeypointRandomAffine(max_rotate_degree=max_rotate_degree,
                              border_val=img_norm_mean),
         RandomFlip(flip_ratio),

@@ -181,11 +181,17 @@ def main():
                             f"step {total}: {msg}")
             if args.max_steps and total >= args.max_steps:
                 break
-        save_checkpoint(
-            work_dir, state, int(state.step),
-            meta=dict(epoch=epoch + 1),
-            max_keep=cfg.get("checkpoint_config", {}).get(
-                "max_keep_ckpts", 20))
+        # mmcv CheckpointHook(interval=N): save every N epochs + always on
+        # exit (production configs use interval=1)
+        ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
+        ckpt_interval = ckpt_cfg.get("interval", 1)
+        last = ((epoch + 1 == max_epochs)
+                or (args.max_steps and total >= args.max_steps))
+        if (epoch + 1) % ckpt_interval == 0 or last:
+            save_checkpoint(
+                work_dir, state, int(state.step),
+                meta=dict(epoch=epoch + 1),
+                max_keep=ckpt_cfg.get("max_keep_ckpts", 20))
         # per-epoch EvalHook (reference opera/core/evaluation/eval_hooks.py)
         eval_interval = cfg.get("evaluation", {}).get("interval", 1)
         if (not args.no_validate and not args.synthetic
