@@ -33,6 +33,10 @@ def main():
                         help="host-timed single dispatches for p50/p90")
     parser.add_argument("--b2", action=argparse.BooleanOptionalAction,
                         default=True, help="also measure a batch=2 row")
+    parser.add_argument("--encoder-mode", default="deformable",
+                        choices=["deformable", "windowed"],
+                        help="'windowed' = opt-in TPU-mode dense "
+                             "local-attention encoder (non-parity)")
     args = parser.parse_args()
 
     import jax
@@ -40,7 +44,8 @@ def main():
     from pavenet_tpu.models.zoo import pavenet_r50_frames3, dummy_clip_batch
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model = pavenet_r50_frames3(dtype=dtype)
+    model = pavenet_r50_frames3(dtype=dtype,
+                                encoder_mode=args.encoder_mode)
     rng = np.random.RandomState(0)
     batch = dummy_clip_batch(rng, batch_size=args.batch,
                              height=args.height, width=args.width)
@@ -148,6 +153,10 @@ def main():
     }
     if b2_clips_per_sec is not None:
         extra["b2_clips_per_sec"] = round(b2_clips_per_sec, 3)
+    if args.encoder_mode != "deformable":
+        # non-parity TPU-mode variant: label it so the headline metric
+        # is never mistaken for the parity model's number
+        extra["encoder_mode"] = args.encoder_mode
     print(json.dumps({
         "metric": "pavenet_r50_frames3_clips_per_sec",
         "value": round(clips_per_sec, 3),

@@ -116,6 +116,9 @@ def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
         num_encoder_layers=encoder.get("num_layers", 6),
         num_decoder_layers=decoder.get("num_layers", 3),
         num_refine_layers=refine.get("num_layers", 2),
+        # opt-in TPU-mode encoder (dense window attention); config key
+        # model.bbox_head.transformer.encoder.mode='windowed'
+        encoder_mode=encoder.get("mode", "deformable"),
         kpt_loss=kpt_loss,
         with_heatmap=loss_hm_weight > 0,
         # PETR: pure learnable queries + per-layer reference detach

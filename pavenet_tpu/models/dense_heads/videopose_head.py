@@ -139,6 +139,10 @@ class VideoPoseHead(nn.Module):
     # (``PetrTransformerDecoder``, ``transformer.py:4222``); the video
     # decoder V2 does not (``transformer.py:6729-6746``)
     detach_decoder_refs: bool = False
+    # 'deformable' (parity, default) or 'windowed' — the opt-in TPU-mode
+    # encoder (dense local window attention, models/layers/windowed.py);
+    # no reference counterpart, needs retraining for accuracy
+    encoder_mode: str = "deformable"
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
@@ -146,14 +150,24 @@ class VideoPoseHead(nn.Module):
         C, K, T = self.embed_dims, self.num_keypoints, self.num_frames
         num_pred = self.num_decoder_layers + 1  # + encoder proposal head
 
-        self.encoder_layers = [
-            EncoderLayer(embed_dims=C, num_heads=self.num_heads,
-                         num_levels=self.num_levels,
-                         num_points=self.encoder_num_points,
-                         feedforward_channels=self.feedforward_channels,
-                         dropout=self.dropout, impl=self.impl,
-                         dtype=self.dtype, name=f"encoder_layer{i}")
-            for i in range(self.num_encoder_layers)]
+        if self.encoder_mode == "windowed":
+            from ..layers.windowed import WindowedEncoderLayer
+            self.encoder_layers = [
+                WindowedEncoderLayer(
+                    embed_dims=C, num_heads=self.num_heads,
+                    feedforward_channels=self.feedforward_channels,
+                    dropout=self.dropout, shift=bool(i % 2),
+                    dtype=self.dtype, name=f"encoder_layer{i}")
+                for i in range(self.num_encoder_layers)]
+        else:
+            self.encoder_layers = [
+                EncoderLayer(embed_dims=C, num_heads=self.num_heads,
+                             num_levels=self.num_levels,
+                             num_points=self.encoder_num_points,
+                             feedforward_channels=self.feedforward_channels,
+                             dropout=self.dropout, impl=self.impl,
+                             dtype=self.dtype, name=f"encoder_layer{i}")
+                for i in range(self.num_encoder_layers)]
 
         self.level_embeds = self.param(
             "level_embeds", nn.initializers.normal(1.0),

@@ -111,6 +111,9 @@ class VideoPoseDetector(nn.Module):
     oks_cost_weight: float = 7.0
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
+    # 'deformable' (parity default) | 'windowed' (opt-in TPU-mode dense
+    # local-attention encoder; see models/layers/windowed.py)
+    encoder_mode: str = "deformable"
     impl: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
@@ -147,6 +150,7 @@ class VideoPoseDetector(nn.Module):
             with_heatmap=self.with_heatmap,
             query_from_encoder_token=self.query_from_encoder_token,
             detach_decoder_refs=self.detach_decoder_refs,
+            encoder_mode=self.encoder_mode,
             impl=self.impl, dtype=self.dtype, name="head")
 
     # ------------------------------------------------------------------
