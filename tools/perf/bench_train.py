@@ -26,13 +26,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bucket", default="800x1344")
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--encoder-mode", default="deformable",
+                    choices=["deformable", "windowed"])
     args = ap.parse_args()
     hh, ww = (int(x) for x in args.bucket.split("x"))
 
     from pavenet_tpu.models import zoo
     from pavenet_tpu.apis.train import create_train_state, make_train_step
 
-    model = zoo.pavenet_r50_frames3(dtype=jnp.bfloat16)
+    model = zoo.pavenet_r50_frames3(dtype=jnp.bfloat16,
+                                    encoder_mode=args.encoder_mode)
     rng = np.random.RandomState(0)
     batch = {k: jnp.asarray(v) for k, v in zoo.dummy_clip_batch(
         rng, height=hh, width=ww, train=True).items()}
