@@ -145,6 +145,142 @@ def _corner_ids(base, wl, D):
     return ids
 
 
+# ---------------------------------------------------------------------
+# bf16 x-pair packing (round 3).  The probe loop is instruction-issue
+# bound (PERF_NOTES follow-up sweeps), so halving its (compare, lookup,
+# select) chains is a direct win: for bf16 values, pack each token with
+# its +x neighbor into one int32 lane ((v[n] bits << 16) | v[n+1] bits),
+# probe with per-ROW ids (offsets {0, Wl} instead of {0, 1, Wl, Wl+1}),
+# keep the accumulators packed, and unpack once per chunk — bit-exact
+# (f32 bits of a bf16 are its bits << 16).  Measured at encoder scale
+# (B=3 bf16): 46.7 -> 38.2 ms/call at 1px spread, 105.0 -> 83.5 at 4px,
+# outputs bit-identical to the unpacked bf16 path.  f32 values keep the
+# 4-corner path (two f32 cannot share a lane).
+# ---------------------------------------------------------------------
+def _row_ids(base, wl, D):
+    """Per-ROW (y-corner) in-tile lanes + tile ids: offsets {0, Wl}."""
+    ids = []
+    for off in (0, wl):
+        tap = jnp.broadcast_to(base + off, (D, LANE))
+        ids.append((tap & (LANE - 1), jax.lax.shift_right_logical(tap, 7)))
+    return ids
+
+
+def _unpack_pair(acc):
+    """packed int32 -> (even-corner f32, odd-corner f32), bit-exact."""
+    hi = jax.lax.bitcast_convert_type(acc & jnp.int32(-65536), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(jax.lax.shift_left(acc, 16),
+                                      jnp.float32)
+    return hi, lo
+
+
+def _packed_value_tables(value, spatial_shapes, T_total):
+    """(B, N, H, D) bf16 -> (B*H, T, D, LANE) int32 packed-pair tables.
+
+    Lane j of tile t holds (v[tok] << 16) | v[tok+1] as bf16 bit
+    patterns; tok+1 is the next token in the level's raster (cross-tile
+    pairs are correct because packing happens on the flat level stream
+    before tiling; a level's last token pairs with zero pad, never
+    selected — xs is clipped to W-2)."""
+    B, N, H, D = value.shape
+    bits = jax.lax.bitcast_convert_type(
+        value.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    parts = []
+    off = 0
+    for (Hl, Wl) in spatial_shapes:
+        n = Hl * Wl
+        seg = bits[:, off:off + n]
+        nxt = jnp.concatenate([seg[:, 1:], jnp.zeros_like(seg[:, :1])], 1)
+        packed = (seg << 16) | nxt
+        nt = _round_up(n, LANE)
+        packed = jnp.pad(packed, ((0, 0), (0, nt - n), (0, 0), (0, 0)))
+        parts.append(packed.reshape(B, nt // LANE, LANE, H, D))
+        off += n
+    tab = jnp.concatenate(parts, 1)
+    tab = tab.transpose(0, 3, 1, 4, 2).reshape(B * H, T_total, D, LANE)
+    return tab.astype(jnp.int32)
+
+
+def _msda_cs_kernel_packed(wl_ref, tmin_ref, tmax_ref, base_ref, dx_ref,
+                           dy_ref, at_ref, val_ref, out_ref, *, precision):
+    """Forward over packed-pair int32 tables (bf16 values): 2 probe
+    chains per chunk instead of 4; unpack once per chunk."""
+    cblk = pl.program_id(1)
+    l = pl.program_id(2)
+    D = val_ref.shape[2]
+    wl = wl_ref[l]
+
+    @pl.when(l == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 1)
+    gt = (lanes // P_POINTS == rows).astype(jnp.float32)
+
+    def chunk_parts(c):
+        base = base_ref[0, 0, 0, c]
+        dx = dx_ref[0, 0, 0, c]
+        dy = dy_ref[0, 0, 0, c]
+        at = at_ref[0, 0, 0, c]
+        return _row_ids(base, wl, D), _corner_weights(dx, dy, at)
+
+    def probe(t, ids, accs):
+        tile = val_ref[0, t]
+        return [jnp.where(tt == t,
+                          jnp.take_along_axis(tile, lanec, axis=1), a)
+                for (lanec, tt), a in zip(ids, accs)]
+
+    def epilogue(c, accs, ws):
+        a00, a01 = _unpack_pair(accs[0])
+        a10, a11 = _unpack_pair(accs[1])
+        acc = a00 * ws[0] + a01 * ws[1] + a10 * ws[2] + a11 * ws[3]
+        part = jax.lax.dot_general(
+            gt, acc, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        out_ref[0, c * QPC:(c + 1) * QPC, :] += part
+
+    for c in range(CB):
+        ids, ws = chunk_parts(c)
+        tmin = tmin_ref[0, l, cblk, c]
+        accs = [jnp.zeros((D, LANE), jnp.int32)] * 2
+        for k in range(STATIC_PROBES):
+            accs = probe(tmin + k, ids, accs)
+        epilogue(c, accs, ws)
+
+    for g0 in range(0, CB, TAIL_GROUP):
+        group_overflow = jnp.zeros((), jnp.int32)
+        for c in range(g0, g0 + TAIL_GROUP):
+            group_overflow = jnp.maximum(
+                group_overflow,
+                tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
+
+        @pl.when(group_overflow >= STATIC_PROBES)
+        def _(g0=g0):
+            for c in range(g0, g0 + TAIL_GROUP):
+                ids, ws = chunk_parts(c)
+                tmin = tmin_ref[0, l, cblk, c]
+                tmax = tmax_ref[0, l, cblk, c]
+                accs = [jnp.zeros((D, LANE), jnp.int32)] * 2
+                for j in range(TAIL_PROBES):
+                    t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
+                                    tmin + STATIC_PROBES + j)
+                    accs = probe(t, ids, accs)
+                epilogue(c, accs, ws)
+
+        @pl.when(group_overflow >= STATIC_PROBES + TAIL_PROBES)
+        def _(g0=g0):
+            for c in range(g0, g0 + TAIL_GROUP):
+                ids, ws = chunk_parts(c)
+                tmin = tmin_ref[0, l, cblk, c]
+                tmax = tmax_ref[0, l, cblk, c]
+                accs = jax.lax.fori_loop(
+                    tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1,
+                    lambda t, a: tuple(probe(t, ids, list(a))),
+                    (jnp.zeros((D, LANE), jnp.int32),) * 2)
+                epilogue(c, list(accs), ws)
+
+
 def _corner_weights(dx, dy, at):
     wx0 = jnp.maximum(1.0 - jnp.abs(dx), 0.0)
     wx1 = jnp.maximum(1.0 - jnp.abs(dx - 1.0), 0.0)
@@ -267,7 +403,16 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
     assert P == P_POINTS, f"P={P}: corner-stream kernel assumes P == 4"
 
     tile_base, T_total = _tile_bases(spatial_shapes)
-    val = _value_tables(value, spatial_shapes, T_total)
+    # bf16 values: packed x-pair tables halve the probe loop's
+    # (compare, lookup, select) chains — bit-identical outputs (see the
+    # packing block above).  f32 keeps the exact 4-corner path.
+    packed = value.dtype == jnp.bfloat16
+    if packed:
+        val = _packed_value_tables(value, spatial_shapes, T_total)
+        kern = _msda_cs_kernel_packed
+    else:
+        val = _value_tables(value, spatial_shapes, T_total)
+        kern = _msda_cs_kernel
     val = jnp.pad(val, ((0, 0), (0, PROBE_PAD), (0, 0), (0, 0)))
     Tp = T_total + PROBE_PAD
 
@@ -281,8 +426,7 @@ def _forward(value, spatial_shapes, sampling_locations, attention_weights):
 
     smem_w, smem, stream, table = _stream_specs(L, NC // CB, Tp, D)
     out = pl.pallas_call(
-        functools.partial(_msda_cs_kernel,
-                          precision=_mxu_precision(value)),
+        functools.partial(kern, precision=_mxu_precision(value)),
         grid=(B * H, NC // CB, L),
         in_specs=[smem_w, smem, smem, stream, stream, stream, stream,
                   table],
@@ -409,6 +553,112 @@ def _msda_cs_bwd_kernel(wl_ref, tmin_ref, tmax_ref, base_ref, dx_ref,
                 flush_vdot(c, list(gvaccs), R, acc=True)
 
 
+def _msda_cs_bwd_kernel_packed(wl_ref, tmin_ref, tmax_ref, base_ref,
+                               dx_ref, dy_ref, at_ref, val_ref, g_ref,
+                               vdot_ref, gval_ref, *, precision):
+    """Backward over packed-pair int32 tables (bf16 values): the probe's
+    value READS use 2 packed chains (row ids) instead of 4; the
+    grad_value SCATTER keeps exact per-corner (tile, lane) one-hots —
+    packing does not apply to writes.  Bit-identical to the unpacked
+    bf16 backward."""
+    cblk = pl.program_id(1)
+    l = pl.program_id(2)
+    D = val_ref.shape[2]
+    wl = wl_ref[l]
+
+    @pl.when((pl.program_id(1) == 0) & (l == 0))
+    def _():
+        gval_ref[...] = jnp.zeros_like(gval_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 0)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (QPC, LANE), 1)
+    gt = (lanes // P_POINTS == rows).astype(jnp.float32)
+    lane_j = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
+
+    def chunk_parts(c):
+        base = base_ref[0, 0, 0, c]
+        dx = dx_ref[0, 0, 0, c]
+        dy = dy_ref[0, 0, 0, c]
+        at = at_ref[0, 0, 0, c]
+        rids = _row_ids(base, wl, D)
+        cids = _corner_ids(base, wl, D)
+        ws = _corner_weights(dx, dy, at)
+        g8 = g_ref[0, c * QPC:(c + 1) * QPC, :]
+        R = jax.lax.dot_general(
+            g8, gt, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=precision, preferred_element_type=jnp.float32)
+        ohs = [(lanec[0:1] == lane_j) for (lanec, _) in cids]
+        Rws = [R * w for w in ws]
+        return rids, cids, ohs, R, Rws
+
+    def probe(t, rids, cids, ohs, Rws, gvaccs):
+        tile = val_ref[0, t]
+        outs = [jnp.where(tt == t,
+                          jnp.take_along_axis(tile, lanec, axis=1), gv)
+                for (lanec, tt), gv in zip(rids, gvaccs)]
+        contrib = None
+        for (_, tt), ohl, Rw in zip(cids, ohs, Rws):
+            hit = tt == t
+            oh = (ohl & hit[0:1]).astype(jnp.float32)
+            part = jax.lax.dot_general(
+                Rw, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+                precision=precision, preferred_element_type=jnp.float32)
+            contrib = part if contrib is None else contrib + part
+        gval_ref[0, t] += contrib
+        return outs
+
+    def flush_vdot(c, gvaccs, R, acc=False):
+        a00, a01 = _unpack_pair(gvaccs[0])
+        a10, a11 = _unpack_pair(gvaccs[1])
+        for j, gv in enumerate((a00, a01, a10, a11)):
+            vd = jnp.sum(gv * R, axis=0, keepdims=True)
+            if acc:
+                vdot_ref[0, 0, 0, c * 4 + j] += vd
+            else:
+                vdot_ref[0, 0, 0, c * 4 + j] = vd
+
+    for c in range(CB):
+        rids, cids, ohs, R, Rws = chunk_parts(c)
+        tmin = tmin_ref[0, l, cblk, c]
+        gvaccs = [jnp.zeros((D, LANE), jnp.int32)] * 2
+        for k in range(STATIC_PROBES):
+            gvaccs = probe(tmin + k, rids, cids, ohs, Rws, gvaccs)
+        flush_vdot(c, gvaccs, R)
+
+    for g0 in range(0, CB, TAIL_GROUP):
+        group_overflow = jnp.zeros((), jnp.int32)
+        for c in range(g0, g0 + TAIL_GROUP):
+            group_overflow = jnp.maximum(
+                group_overflow,
+                tmax_ref[0, l, cblk, c] - tmin_ref[0, l, cblk, c])
+
+        @pl.when(group_overflow >= STATIC_PROBES)
+        def _(g0=g0):
+            for c in range(g0, g0 + TAIL_GROUP):
+                rids, cids, ohs, R, Rws = chunk_parts(c)
+                tmin = tmin_ref[0, l, cblk, c]
+                tmax = tmax_ref[0, l, cblk, c]
+                gvaccs = [jnp.zeros((D, LANE), jnp.int32)] * 2
+                for j in range(TAIL_PROBES):
+                    t = jnp.maximum(tmax - (TAIL_PROBES - 1) + j,
+                                    tmin + STATIC_PROBES + j)
+                    gvaccs = probe(t, rids, cids, ohs, Rws, gvaccs)
+                flush_vdot(c, gvaccs, R, acc=True)
+
+        @pl.when(group_overflow >= STATIC_PROBES + TAIL_PROBES)
+        def _(g0=g0):
+            for c in range(g0, g0 + TAIL_GROUP):
+                rids, cids, ohs, R, Rws = chunk_parts(c)
+                tmin = tmin_ref[0, l, cblk, c]
+                tmax = tmax_ref[0, l, cblk, c]
+                gvaccs = jax.lax.fori_loop(
+                    tmin + STATIC_PROBES, tmax - TAIL_PROBES + 1,
+                    lambda t, gv: tuple(probe(t, rids, cids, ohs, Rws,
+                                              list(gv))),
+                    (jnp.zeros((D, LANE), jnp.int32),) * 2)
+                flush_vdot(c, list(gvaccs), R, acc=True)
+
+
 def _backward(value, spatial_shapes, sampling_locations, attention_weights,
               g):
     B, N, H, D = value.shape
@@ -416,7 +666,13 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
     L = len(spatial_shapes)
 
     tile_base, T_total = _tile_bases(spatial_shapes)
-    val = _value_tables(value, spatial_shapes, T_total)
+    packed = value.dtype == jnp.bfloat16
+    if packed:
+        val = _packed_value_tables(value, spatial_shapes, T_total)
+        bwd_kern = _msda_cs_bwd_kernel_packed
+    else:
+        val = _value_tables(value, spatial_shapes, T_total)
+        bwd_kern = _msda_cs_bwd_kernel
     val = jnp.pad(val, ((0, 0), (0, PROBE_PAD), (0, 0), (0, 0)))
     Tp = T_total + PROBE_PAD
     locs_p, attn_p, Qpad = _pad_queries(sampling_locations,
@@ -430,8 +686,7 @@ def _backward(value, spatial_shapes, sampling_locations, attention_weights,
 
     smem_w, smem, stream, table = _stream_specs(L, NC // CB, Tp, D)
     vdot, gval = pl.pallas_call(
-        functools.partial(_msda_cs_bwd_kernel,
-                          precision=_mxu_precision(value)),
+        functools.partial(bwd_kern, precision=_mxu_precision(value)),
         grid=(B * H, NC // CB, L),
         in_specs=[smem_w, smem, smem, stream, stream, stream, stream,
                   table,
