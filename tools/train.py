@@ -127,8 +127,21 @@ def main():
     accum = cfg.get("optimizer_config", {}).get("cumulative_iters", 8)
     clip = cfg.get("optimizer_config", {}).get("grad_clip", {}).get(
         "max_norm", 0.1)
+    base_lr = opt_cfg.get("lr", 2e-5)
+    # linear-scaling-rule auto LR (reference ``opera/apis/train.py:72``):
+    # cfg.auto_scale_lr = dict(enable=True, base_batch_size=N) scales lr
+    # by (global batch / base_batch_size)
+    asl = cfg.get("auto_scale_lr", {}) or {}
+    if asl.get("enable", False) and asl.get("base_batch_size"):
+        global_batch = samples_per_gpu * jax.device_count()
+        if global_batch != asl["base_batch_size"]:
+            scaled = base_lr * global_batch / asl["base_batch_size"]
+            logger.info(f"auto_scale_lr: global batch {global_batch} vs "
+                        f"base {asl['base_batch_size']} -> lr "
+                        f"{base_lr} -> {scaled}")
+            base_lr = scaled
     schedule = build_lr_schedule(
-        cfg.get("lr_config", {}) or {}, opt_cfg.get("lr", 2e-5),
+        cfg.get("lr_config", {}) or {}, base_lr,
         steps_per_epoch, max_epochs=max_epochs)
 
     ema_decay = 0.0
@@ -160,7 +173,20 @@ def main():
     total = 0
     log_interval = cfg.get("log_config", {}).get("interval", 40)
     for epoch in range(start_epoch, max_epochs):
-        for i, batch in enumerate(epoch_loader(epoch)):
+        it = iter(epoch_loader(epoch))
+        i = -1
+        t_iter = time.time()
+        while True:
+            # mmcv IterTimerHook semantics: data_time = host wait on the
+            # loader, time = full iteration wall clock (dispatch-async,
+            # like the reference's non-synchronized CUDA timings)
+            t0 = time.time()
+            try:
+                batch = next(it)
+            except StopIteration:
+                break
+            i += 1
+            data_time = time.time() - t0
             batch = put_batch(batch, mesh)
             if args.profile_dir and total == 2:
                 jax.profiler.start_trace(args.profile_dir)
@@ -169,8 +195,11 @@ def main():
             if args.profile_dir and total == 4:
                 jax.tree_util.tree_leaves(losses)[0].block_until_ready()
                 jax.profiler.stop_trace()
+            iter_time, t_iter = time.time() - t_iter, time.time()
             if total % log_interval == 0 or i == 0:
                 vals = {k: float(v) for k, v in losses.items()}
+                vals["time"] = iter_time
+                vals["data_time"] = data_time
                 buf.update(vals)
                 buf.average(1)
                 if sinks is not None:
