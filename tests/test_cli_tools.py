@@ -1,0 +1,95 @@
+"""Smoke tests for the small CLI tools: offline re-evaluation
+(``tools/eval_metric.py``) and the keypoint->pseudo-box dataset converter
+(``tools/dataset_converters/keypoint2pseudo_box.py``)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=600):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
+        capture_output=True, text=True)
+
+
+def _synth_posetrack(root):
+    rng = np.random.RandomState(0)
+    H, W = 128, 160
+    images, annotations = [], []
+    kpts = {}
+    aid = 1
+    for i in (1, 2, 3):
+        images.append(dict(
+            id=i, file_name=f"images/v/{i:08d}.jpg", width=W, height=H,
+            nframes=3, frame_id=i, is_labeled=i != 1, vid_id="000001"))
+        if i == 1:
+            continue
+        k = np.zeros((15, 3))
+        k[:, 0] = rng.uniform(20, W - 20, 15)
+        k[:, 1] = rng.uniform(20, H - 20, 15)
+        k[:, 2] = 2
+        kpts[i] = k
+        annotations.append(dict(
+            id=aid, image_id=i, category_id=1,
+            keypoints=k.reshape(-1).tolist(), bbox=[20, 20, 80, 80],
+            bbox_head=[30, 20, 20, 20], area=6400, num_keypoints=15,
+            iscrowd=0, track_id=0))
+        aid += 1
+    ann = dict(images=images, annotations=annotations,
+               categories=[dict(id=1, name="person")])
+    ann_file = os.path.join(root, "gt.json")
+    with open(ann_file, "w") as f:
+        json.dump(ann, f)
+    return ann_file, kpts
+
+
+def test_eval_metric_cli(tmp_path):
+    """Perfect detections re-evaluated offline must score AP 100."""
+    ann_file, kpts = _synth_posetrack(str(tmp_path))
+    dets = []
+    for img_id, k in kpts.items():
+        dets.append(dict(
+            image_id=img_id, category_id=1, score=0.99,
+            keypoints=np.concatenate(
+                [k[:, :2], np.ones((15, 1))], 1).reshape(-1).tolist()))
+    dets_file = str(tmp_path / "dets.json")
+    with open(dets_file, "w") as f:
+        json.dump(dets, f)
+
+    r = run_cli(["tools/eval_metric.py",
+                 "configs/videopose/pavenet_tiny_debug.py", dets_file,
+                 "--cfg-options", f"data.test.ann_file={ann_file}",
+                 f"data.test.img_prefix={tmp_path}",
+                 "data.test.test_mode=true"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = r.stdout + r.stderr
+    assert "posetrack/Mean: 100.0000" in out, out[-2000:]
+
+
+def test_keypoint2pseudo_box_cli(tmp_path):
+    ann_file, kpts = _synth_posetrack(str(tmp_path))
+    out_file = str(tmp_path / "pseudo.json")
+    r = run_cli(["tools/dataset_converters/keypoint2pseudo_box.py",
+                 ann_file, out_file, "--margin", "0.1"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out_file) as f:
+        data = json.load(f)
+    for ann in data["annotations"]:
+        k = np.asarray(ann["keypoints"], np.float32).reshape(-1, 3)
+        x, y, w, h = ann["bbox"]
+        kw = k[:, 0].max() - k[:, 0].min()
+        kh = k[:, 1].max() - k[:, 1].min()
+        # margin-expanded circumscribed rectangle
+        assert w == pytest.approx(kw * 1.2, rel=1e-5)
+        assert h == pytest.approx(kh * 1.2, rel=1e-5)
+        assert x == pytest.approx(k[:, 0].min() - 0.1 * kw, rel=1e-4)
+        assert y == pytest.approx(k[:, 1].min() - 0.1 * kh, rel=1e-4)
+        assert ann["area"] == pytest.approx(w * h, rel=1e-5)

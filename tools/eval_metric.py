@@ -22,6 +22,7 @@ def main():
 
     from pavenet_tpu import Config, DictAction
     from pavenet_tpu.registry import DATASETS
+    import pavenet_tpu.datasets  # noqa: F401 — populate the registry
     from pavenet_tpu.apis.test import evaluate_dataset
 
     cfg = Config.fromfile(args.config)
