@@ -15,6 +15,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def run_cli(args, timeout=600):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
+    # CPU subprocesses must not register the machine's tunneled-TPU
+    # plugin at all: its client init can block on a busy/unhealthy device
+    # even when the computation runs on CPU
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
         capture_output=True, text=True)

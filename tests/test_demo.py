@@ -44,6 +44,7 @@ def test_image_demo_end_to_end(tmp_path):
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no tunneled-TPU plugin on CPU
     r = subprocess.run(
         [sys.executable, "demo/image_demo.py", *frames, cfg_path, ckpt,
          "--out-file", out_file, "--score-thr", "0.0"],

@@ -54,6 +54,7 @@ def run_cli(args, timeout=1200):  # cap, not duration: CI boxes under load
     # have been seen 3x slower than this box (round-1 VERDICT weak item 10)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # single CPU device (conftest sets 8)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no tunneled-TPU plugin on CPU
     return subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
         capture_output=True, text=True)

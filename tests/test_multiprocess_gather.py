@@ -51,6 +51,7 @@ def test_two_process_gather(tmp_path):
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no tunneled-TPU plugin on CPU
     procs, outs = [], []
     for pid in range(2):
         out = str(tmp_path / f"out{pid}.json")

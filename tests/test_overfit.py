@@ -62,6 +62,7 @@ def synth_data(tmp_path_factory):
 def run_cli(args, timeout):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no tunneled-TPU plugin on CPU
     return subprocess.run(
         [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
         capture_output=True, text=True)

@@ -12,6 +12,14 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    # some environments pre-register an accelerator plugin that wins over
+    # the env var; re-assert the user's choice (without this, the eval
+    # keypoint sigmoid/jnp work claims the accelerator and can block on a
+    # busy device — the other CLI tools carry the same guard)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     p = argparse.ArgumentParser()
