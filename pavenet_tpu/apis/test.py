@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import time
 from collections import OrderedDict
-from typing import Callable, Dict, List, Optional
+from typing import List
 
 import numpy as np
 import jax
@@ -151,7 +151,6 @@ def evaluate_dataset(dataset, detections: List[dict],
                      max_dets: int = 30) -> "OrderedDict":
     """COCO OKS AP + (for PoseTrack) per-joint PCKh AP."""
     from ..core.eval.coco_keypoint_eval import COCOKeypointEval
-    from ..datasets.coco_api import COCO
 
     results = OrderedDict()
     if detections and "keypoints" not in detections[0]:

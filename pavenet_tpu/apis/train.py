@@ -16,7 +16,6 @@ Production parameter groups
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import flax

@@ -14,7 +14,7 @@ threshold in [0.5:0.05:0.95]; ignore handling for crowd/no-keypoint GTs;
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -26,7 +26,7 @@ is intentionally not reproduced.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

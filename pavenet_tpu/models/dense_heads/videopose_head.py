@@ -24,7 +24,7 @@ TPU-first design choices (vs. the reference):
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ TPU-first notes:
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ static-shape in-jit.
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ Batch dict contract (all static shapes):
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -8,7 +8,6 @@ LayerNorm is applied by the enclosing layer.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ GN levels appended from the last input until ``num_outs`` levels exist
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

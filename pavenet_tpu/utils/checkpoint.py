@@ -8,9 +8,8 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 
