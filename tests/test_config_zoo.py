@@ -79,6 +79,21 @@ def test_posetrack18_configs():
         built, zoo.pavenet_r50_frames3(backbone_type="swin"))
 
 
+def test_posetrack21_configs():
+    """PoseTrack21 (the north-star benchmark dataset): video flagship +
+    single-frame PETR; PT21 ships PT18-format jsons (0-indexed)."""
+    cfg = _cfg("videopose/pavenet_r50_frames3_posetrack21.py")
+    built = build_detector(cfg.model)
+    _assert_same_module(built, zoo.pavenet_r50_frames3())
+    assert cfg.data.train.first_frame_index == 0
+    assert "posetrack21" in cfg.data.train.ann_file
+
+    cfg = _cfg("petr/petr_r50_posetrack21.py")
+    built = build_detector(cfg.model)
+    _assert_same_module(built, zoo.petr_r50_coco(num_keypoints=15))
+    assert cfg.data.train.type == "opera.PosetrackPoseDataset"
+
+
 def test_soit_config_matches_zoo():
     cfg = _cfg("soit/soit_r50_16x2_50e_coco.py")
     built = build_detector(cfg.model)
