@@ -97,3 +97,14 @@ def test_keypoint2pseudo_box_cli(tmp_path):
         assert x == pytest.approx(k[:, 0].min() - 0.1 * kw, rel=1e-4)
         assert y == pytest.approx(k[:, 1].min() - 0.1 * kh, rel=1e-4)
         assert ann["area"] == pytest.approx(w * h, rel=1e-5)
+
+
+def test_get_flops_cli():
+    """Complexity report (reference tools/train_fixed.py counterpart):
+    params + XLA post-fusion FLOPs at a tiny bucket."""
+    r = run_cli(["tools/get_flops.py",
+                 "configs/videopose/pavenet_tiny_debug.py",
+                 "--shape", "128", "192"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "params:" in r.stdout and "backbone" in r.stdout
+    assert "forward FLOPs" in r.stdout, r.stdout
