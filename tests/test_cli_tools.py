@@ -108,3 +108,40 @@ def test_get_flops_cli():
     assert r.returncode == 0, r.stderr[-3000:]
     assert "params:" in r.stdout and "backbone" in r.stdout
     assert "forward FLOPs" in r.stdout, r.stdout
+
+
+def test_torch2flax_cli(tmp_path):
+    """Reference .pth -> orbax conversion round trip: the CLI must convert
+    the reduced torch reference tree with zero unconverted keys and the
+    restored params must match the source tensors."""
+    import torch
+    from test_parity_model import build_reference
+    ref = build_reference()
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"state_dict": ref.state_dict()}, pth)
+
+    cfg_file = str(tmp_path / "tiny_oracle.py")
+    base = os.path.join(REPO, "configs", "videopose",
+                        "pavenet_tiny_debug.py")
+    with open(cfg_file, "w") as f:
+        f.write(f"""_base_ = [{base!r}]
+model = dict(bbox_head=dict(
+    num_query=20,
+    transformer=dict(
+        encoder=dict(num_layers=2,
+                     transformerlayers=dict(
+                         attn_cfgs=dict(embed_dims=64),
+                         feedforward_channels=128)),
+        decoder=dict(num_layers=2),
+        refine_decoder=dict(num_layers=1))))
+""")
+    out = str(tmp_path / "flax_ckpt")
+    r = run_cli(["tools/dataset_converters/torch2flax.py", cfg_file, pth,
+                 out, "--strict"])
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+
+    from pavenet_tpu.utils.checkpoint import restore_variables
+    variables = restore_variables(out)
+    lv = np.asarray(variables["params"]["head"]["level_embeds"])
+    want = ref.state_dict()["bbox_head.transformer.level_embeds"].numpy()
+    np.testing.assert_allclose(lv, want, atol=0)
