@@ -18,20 +18,32 @@ import jax
 
 
 def run_inference(model, variables, loader, score_thr: float = 0.0,
-                  logger=None, flip_test: bool = False) -> List[dict]:
+                  logger=None, flip_test: bool = False,
+                  mesh=None) -> List[dict]:
     """Returns COCO-style keypoint detection dicts.
 
     ``flip_test`` merges original + horizontally-flipped predictions via
-    box NMS (the reference's ``aug_test``, ``videoposev1.py:224``)."""
+    box NMS (the reference's ``aug_test``, ``videoposev1.py:224``).
+
+    ``mesh``: optional single-process device mesh — the batch axis of each
+    loader batch is sharded over its devices (inference data parallelism
+    over local chips; the reference's multi-GPU test instead ran one
+    process per GPU).  Feed a loader whose batch size is a multiple of the
+    mesh size; padded tail rows are dropped by ``_row_valid`` as usual."""
     if flip_test:
         infer = jax.jit(lambda v, b: model.apply(
             v, b, method="forward_test_flip"))
     else:
         infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    if mesh is not None:
+        from ..parallel.mesh import put_batch, replicate
+        variables = jax.device_put(variables, replicate(mesh))
     detections: List[dict] = []
     t_total, n_clips = 0.0, 0
     for batch in loader:
         feed = {k: batch[k] for k in ("img", "img_shape", "scale_factor")}
+        if mesh is not None:
+            feed = put_batch(feed, mesh)
         t0 = time.time()
         out = jax.tree.map(np.asarray, infer(variables, feed))
         t_total += time.time() - t0
@@ -60,7 +72,8 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
 
 
 def run_det_inference(model, variables, loader, score_thr: float = 0.05,
-                      mask_thr: float = 0.5, logger=None) -> List[dict]:
+                      mask_thr: float = 0.5, logger=None,
+                      mesh=None) -> List[dict]:
     """Detection / instance-segmentation inference (SOIT, DK-DETR):
     returns COCO-style dicts with ``bbox`` (xywh) and, when the model
     emits masks, ``segmentation`` as a binary mask resized to the
@@ -71,12 +84,20 @@ def run_det_inference(model, variables, loader, score_thr: float = 0.05,
     except ImportError:  # pragma: no cover
         cv2 = None
     infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    if mesh is not None:
+        from ..parallel.mesh import put_batch, replicate
+        variables = jax.device_put(variables, replicate(mesh))
     detections: List[dict] = []
     for batch in loader:
         keys = ("img", "img_shape", "scale_factor")
         feed = {k: batch[k] for k in keys if k in batch}
         if "text_feats" in batch:
             feed["text_feats"] = batch["text_feats"]
+        if mesh is not None:
+            tf = feed.pop("text_feats", None)  # replicated, not sharded
+            feed = put_batch(feed, mesh)
+            if tf is not None:
+                feed["text_feats"] = jax.device_put(tf, replicate(mesh))
         out = jax.tree.map(np.asarray, infer(variables, feed))
         row_valid = batch.get("_row_valid",
                               np.ones(len(batch["img"]), bool))

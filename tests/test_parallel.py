@@ -3,6 +3,7 @@ behavior is driver-validated via ``__graft_entry__.dryrun_multichip``)."""
 import os
 
 import numpy as np
+import pytest
 import jax
 
 from pavenet_tpu.parallel.mesh import (
@@ -121,3 +122,39 @@ def test_dp8_step_equals_single_device_step():
                                     - np.asarray(p1)).max()),
         state0.params, sA.params))
     assert max(moved) > 0
+
+
+def test_mesh_inference_equals_single_device():
+    """Inference DP: run_inference over an 8-device mesh must yield the
+    same detections as the unsharded path on the same batches (the
+    reference's multi-GPU test ran one process per GPU; here the clip
+    axis shards over local chips inside one jit)."""
+    from pavenet_tpu.models.zoo import pavenet_r50_frames3, dummy_clip_batch
+    from pavenet_tpu.apis.test import run_inference
+
+    model = pavenet_r50_frames3(
+        backbone_depth=18, embed_dims=32, num_encoder_layers=1,
+        num_decoder_layers=1, num_refine_layers=1, num_query=12, max_gt=3,
+        feedforward_channels=64, dropout=0.0, max_per_img=4)
+    n = len(jax.devices())
+    rng = np.random.RandomState(0)
+    batch = dummy_clip_batch(rng, batch_size=n, num_frames=3, height=96,
+                             width=128, num_keypoints=15)
+    batch["image_id"] = np.arange(n, dtype=np.int64)
+    rv = np.ones(n, bool)
+    rv[-1] = False  # repeat-padded tail row must be dropped on both paths
+    batch["_row_valid"] = rv
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        batch, train=False))()
+
+    plain = run_inference(model, variables, [batch])
+    sharded = run_inference(model, variables, [batch],
+                            mesh=make_mesh())
+    assert len(plain) == len(sharded) > 0
+    assert {d["image_id"] for d in plain} <= set(range(n - 1))
+    for a, b in zip(plain, sharded):
+        assert a["image_id"] == b["image_id"]
+        assert a["score"] == pytest.approx(b["score"], rel=1e-5, abs=1e-6)
+        np.testing.assert_allclose(a["keypoints"], b["keypoints"],
+                                   rtol=1e-4, atol=1e-3)

@@ -65,7 +65,16 @@ def main():
     pipe_kwargs = dict(cfg.get("test_pipeline_kwargs", {}))
     dataset = DATASETS.build(
         dict(**test_cfg, pipeline=build_test_pipeline(**pipe_kwargs)))
-    loader = ClipLoader(dataset, batch_size=1, shuffle=False,
+    # single process with several local chips: shard the clip axis over a
+    # device mesh (inference DP; the reference instead launched one process
+    # per GPU).  Multi-process runs keep sharding the dataset per process.
+    mesh = None
+    if jax.process_count() == 1 and len(jax.devices()) > 1:
+        from pavenet_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        logger.info(f"inference DP over {len(jax.devices())} devices")
+    batch_size = len(jax.devices()) if mesh is not None else 1
+    loader = ClipLoader(dataset, batch_size=batch_size, shuffle=False,
                         drop_last=False,
                         num_keypoints=dataset.NUM_KEYPOINTS,
                         num_shards=jax.process_count(),
@@ -83,7 +92,7 @@ def main():
 
     detections = gather_detections(
         run_inference(model, variables, loader, logger=logger,
-                      flip_test=args.flip_test))
+                      flip_test=args.flip_test, mesh=mesh))
     if jax.process_index() != 0:
         return
     if args.out:
