@@ -29,28 +29,11 @@ def parse_args():
     return p.parse_args()
 
 
-# 15/17-keypoint skeletons (reference ``videoposev1.py:354``)
-SKELETONS = {
-    15: [(0, 1), (1, 2), (1, 3), (1, 4), (3, 5), (5, 7), (4, 6), (6, 8),
-         (3, 9), (4, 10), (9, 11), (11, 13), (10, 12), (12, 14), (9, 10)],
-    17: [(0, 1), (0, 2), (1, 3), (2, 4), (5, 6), (5, 7), (7, 9), (6, 8),
-         (8, 10), (5, 11), (6, 12), (11, 13), (13, 15), (12, 14), (14, 16),
-         (11, 12)],
-}
-
-
 def draw(img, kpts, scores, score_thr):
-    import cv2
-    skeleton = SKELETONS.get(kpts.shape[1], [])
-    for person, s in zip(kpts, scores):
-        if s < score_thr:
-            continue
-        pts = person[:, :2].astype(int)
-        for a, b in skeleton:
-            cv2.line(img, tuple(pts[a]), tuple(pts[b]), (0, 255, 0), 2)
-        for x, y in pts:
-            cv2.circle(img, (int(x), int(y)), 3, (0, 0, 255), -1)
-    return img
+    # shared renderer: 14 (CrowdPose) / 15 (PoseTrack) / 17 (COCO)
+    # skeleton tables (reference ``videoposev1.py:354``)
+    from pavenet_tpu.utils.visualize import draw_poses
+    return draw_poses(img, kpts, scores, score_thr)
 
 
 def main():

@@ -17,32 +17,86 @@ import numpy as np
 import jax
 
 
+def _rescale_batch(batch, ratio: float) -> dict:
+    """Host-side scale augmentation for multi-scale TTA: resize each
+    sample's valid region by ``ratio`` and re-pad to the smallest static
+    bucket (the reference expresses this in the ``MultiScaleFlipAug``
+    test pipeline; here the already-loaded batch is re-scaled so every
+    pass shares one data pass)."""
+    import cv2
+    from ..datasets.pipelines.transforms import DEFAULT_BUCKETS
+    if ratio == 1.0:
+        return batch
+    img = np.asarray(batch["img"])                  # (B, T, H, W, 3)
+    shapes = np.asarray(batch["img_shape"])
+    new_shapes = np.maximum((shapes * ratio).round().astype(np.int32), 1)
+    nh_max, nw_max = new_shapes.max(0)
+    for bh, bw in sorted(DEFAULT_BUCKETS, key=lambda b: b[0] * b[1]):
+        if bh >= nh_max and bw >= nw_max:
+            break
+    else:
+        raise ValueError(f"scaled image {nh_max}x{nw_max} exceeds buckets")
+    out = np.zeros(img.shape[:2] + (bh, bw, 3), img.dtype)
+    for b in range(img.shape[0]):
+        ih, iw = shapes[b]
+        nh, nw = new_shapes[b]
+        for t in range(img.shape[1]):
+            out[b, t, :nh, :nw] = cv2.resize(
+                img[b, t, :ih, :iw], (int(nw), int(nh)),
+                interpolation=cv2.INTER_LINEAR)
+    return dict(batch, img=out, img_shape=new_shapes,
+                scale_factor=np.asarray(batch["scale_factor"]) * ratio)
+
+
 def run_inference(model, variables, loader, score_thr: float = 0.0,
                   logger=None, flip_test: bool = False,
-                  mesh=None) -> List[dict]:
+                  mesh=None, aug_scales=None) -> List[dict]:
     """Returns COCO-style keypoint detection dicts.
 
     ``flip_test`` merges original + horizontally-flipped predictions via
     box NMS (the reference's ``aug_test``, ``videoposev1.py:224``).
+
+    ``aug_scales``: optional list of scale ratios for multi-scale TTA —
+    every (scale, flip) pass runs separately and the union is merged with
+    the reference ``merge_aug_results`` + ``multiclass_nms`` semantics
+    (``videoposev1.py:224-262``).
 
     ``mesh``: optional single-process device mesh — the batch axis of each
     loader batch is sharded over its devices (inference data parallelism
     over local chips; the reference's multi-GPU test instead ran one
     process per GPU).  Feed a loader whose batch size is a multiple of the
     mesh size; padded tail rows are dropped by ``_row_valid`` as usual."""
-    if flip_test:
+    if mesh is not None:
+        from ..parallel.mesh import put_batch, replicate
+        variables = jax.device_put(variables, replicate(mesh))
+    multi_scale = bool(aug_scales) and (
+        len(aug_scales) > 1 or float(aug_scales[0]) != 1.0)
+    if multi_scale:
+        flips = (False, True) if flip_test else (False,)
+        aug_fns = {f: jax.jit(lambda v, b, f=f: model.apply(
+            v, b, flip=f, method="forward_test_aug")) for f in flips}
+        merge_fn = jax.jit(lambda v, outs: model.apply(
+            v, outs, method="merge_aug_detections"))
+
+        def infer(v, feed):
+            outs = []
+            for r in aug_scales:
+                fb = _rescale_batch(feed, float(r))
+                if mesh is not None:
+                    fb = put_batch(fb, mesh)
+                for f in flips:
+                    outs.append(aug_fns[f](v, fb))
+            return merge_fn(v, outs)
+    elif flip_test:
         infer = jax.jit(lambda v, b: model.apply(
             v, b, method="forward_test_flip"))
     else:
         infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
-    if mesh is not None:
-        from ..parallel.mesh import put_batch, replicate
-        variables = jax.device_put(variables, replicate(mesh))
     detections: List[dict] = []
     t_total, n_clips = 0.0, 0
     for batch in loader:
         feed = {k: batch[k] for k in ("img", "img_shape", "scale_factor")}
-        if mesh is not None:
+        if mesh is not None and not multi_scale:
             feed = put_batch(feed, mesh)
         t0 = time.time()
         out = jax.tree.map(np.asarray, infer(variables, feed))

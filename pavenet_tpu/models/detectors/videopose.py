@@ -599,3 +599,59 @@ class VideoPoseDetector(nn.Module):
         return dict(det_kpts=det_kpts, det_bboxes=det_bboxes,
                     det_labels=jnp.zeros(top_idx.shape, jnp.int32),
                     keep=jnp.isfinite(top_scores))
+
+    def forward_test_aug(self, batch, flip: bool = False,
+                         rescale: bool = True):
+        """One test-time-augmentation pass: padded detections in ORIGINAL
+        image coordinates, no NMS (one element of the reference
+        ``aug_test`` list, ``videoposev1.py:224-246``).  ``flip`` runs the
+        horizontally flipped image and maps keypoints back
+        (``kpt_mapping_back`` semantics).  Merge passes with
+        ``merge_aug_detections``."""
+        K = self.num_keypoints
+        if not flip:
+            out = self.forward_test(batch, rescale=rescale, with_nms=False)
+            return dict(det_kpts=out["det_kpts"],
+                        scores=out["det_bboxes"][..., 4])
+        out_f = self.forward_test(self._flip_images(batch),
+                                  rescale=rescale, with_nms=False)
+        img_w = batch["img_shape"][:, 1].astype(jnp.float32)
+        ori_w = img_w / batch["scale_factor"][:, 0] if rescale else img_w
+        kpts_f = out_f["det_kpts"]                         # (B, M, K, 3)
+        x_back = ori_w[:, None, None] - kpts_f[..., 0]
+        kpts_f = jnp.concatenate([x_back[..., None], kpts_f[..., 1:]], -1)
+        perm = list(range(K))
+        for a, b in FLIP_PAIRS_BY_K.get(K, ()):
+            perm[a], perm[b] = perm[b], perm[a]
+        kpts_f = kpts_f[:, :, jnp.asarray(perm), :]
+        return dict(det_kpts=kpts_f, scores=out_f["det_bboxes"][..., 4])
+
+    def merge_aug_detections(self, outs, score_thr: float = 0.0,
+                             nms_iou: float = 0.7):
+        """Merge a list of ``forward_test_aug`` outputs: union -> box NMS
+        -> top ``max_per_img`` (reference ``merge_aug_results`` +
+        ``multiclass_nms``, ``videoposev1.py:224-262``).  Same output
+        contract as ``forward_test``."""
+        M = self.max_per_img
+        kpts = jnp.concatenate([o["det_kpts"] for o in outs], 1)
+        scores = jnp.concatenate([o["scores"] for o in outs], 1)
+        x1 = kpts[..., 0].min(-1)
+        y1 = kpts[..., 1].min(-1)
+        x2 = kpts[..., 0].max(-1)
+        y2 = kpts[..., 1].max(-1)
+        boxes = jnp.stack([x1, y1, x2, y2], -1)            # (B, nM, 4)
+        keep = jax.vmap(lambda b, s: box_nms_keep(b, s, nms_iou, score_thr))(
+            boxes, scores)
+        ranked = jnp.where(keep, scores, -jnp.inf)
+        top_scores, top_idx = jax.lax.top_k(ranked, M)     # (B, M)
+        take = lambda a: jnp.take_along_axis(
+            a, top_idx.reshape(*top_idx.shape, *(1,) * (a.ndim - 2)), axis=1)
+        det_kpts = take(kpts)
+        # merged keypoint scores reset to 1 (reference ``videoposev1.py:255``)
+        det_kpts = jnp.concatenate(
+            [det_kpts[..., :2], jnp.ones_like(det_kpts[..., :1])], -1)
+        det_bboxes = jnp.concatenate(
+            [take(boxes), top_scores[..., None]], -1)
+        return dict(det_kpts=det_kpts, det_bboxes=det_bboxes,
+                    det_labels=jnp.zeros(top_idx.shape, jnp.int32),
+                    keep=jnp.isfinite(top_scores))

@@ -438,6 +438,7 @@ def convert_petr_state_dict(state_dict: dict, init_params: dict,
                             backbone_depth: int = 50,
                             backbone_type: str = "resnet",
                             swin_depths=(2, 2, 18, 2),
+                            hrnet_width: int = 48,
                             strict: bool = False):
     """Reference single-frame PETR checkpoint -> VideoPoseDetector(T=1).
 
@@ -451,6 +452,8 @@ def convert_petr_state_dict(state_dict: dict, init_params: dict,
     sd = _StateDict(state_dict)
     if backbone_type == "swin":
         backbone_p, backbone_s = _swin(sd, depths=swin_depths), {}
+    elif backbone_type == "hrnet":
+        backbone_p, backbone_s = _hrnet(sd, width=hrnet_width)
     else:
         backbone_p, backbone_s = _resnet(sd, backbone_depth)
     neck_p = _neck(sd)

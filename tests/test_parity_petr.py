@@ -26,7 +26,7 @@ H, W = 128, 192
 B = 1
 
 
-def build_reference():
+def build_reference(backbone="resnet"):
     install_stubs()
     for p in (f"{REFERENCE_ROOT}/third_party/mmdetection", REFERENCE_ROOT):
         if p not in sys.path:
@@ -65,15 +65,36 @@ def build_reference():
         dict(type='mmcv.MultiScaleDeformableAttention', embed_dims=EMBED,
              im2col_step=128)]
 
-    cfg = dict(
-        type='PETR',
-        backbone=dict(
+    if backbone == "hrnet":
+        # mmdet HRNet-W32 (reference petr_hrnetw48 config shape, W=32
+        # for test weight): emits branches 1..3 -> neck in [64,128,256]
+        backbone_cfg = dict(
+            type='mmdet.HRNet', in_channels=3, norm_eval=True,
+            extra=dict(
+                stage1=dict(num_modules=1, num_branches=1,
+                            block='BOTTLENECK', num_blocks=(4,),
+                            num_channels=(64,)),
+                stage2=dict(num_modules=1, num_branches=2, block='BASIC',
+                            num_blocks=(4, 4), num_channels=(32, 64)),
+                stage3=dict(num_modules=4, num_branches=3, block='BASIC',
+                            num_blocks=(4, 4, 4),
+                            num_channels=(32, 64, 128)),
+                stage4=dict(num_modules=3, num_branches=4, block='BASIC',
+                            num_blocks=(4, 4, 4, 4),
+                            num_channels=(32, 64, 128, 256))))
+        neck_in = [64, 128, 256]
+    else:
+        backbone_cfg = dict(
             type='mmdet.ResNet', depth=18, num_stages=4,
             out_indices=(1, 2, 3), frozen_stages=1,
             norm_cfg=dict(type='BN', requires_grad=False), norm_eval=True,
-            style='pytorch'),
+            style='pytorch')
+        neck_in = [128, 256, 512]
+    cfg = dict(
+        type='PETR',
+        backbone=backbone_cfg,
         neck=dict(
-            type='mmdet.ChannelMapper', in_channels=[128, 256, 512],
+            type='mmdet.ChannelMapper', in_channels=neck_in,
             kernel_size=1, out_channels=EMBED, act_cfg=None,
             norm_cfg=dict(type='GN', num_groups=32), num_outs=4),
         bbox_head=dict(
@@ -284,3 +305,55 @@ def test_petr_loss_parity(petr_pair):
     bad = {k: (losses[k], want) for k, want in losses_ref.items()
            if abs(losses[k] - want) > 5e-3 + 2e-2 * abs(want)}
     assert not bad, (bad, losses_ref)
+
+
+def test_petr_hrnet_conversion():
+    """PETR-with-HRNet checkpoint conversion (reference config
+    ``configs/petr/petr_hrnetw48_16x2_100e_coco.py``): the converter must
+    dispatch the HRNet backbone tree (round-3 ADVICE medium item) — zero
+    unconverted keys and backbone+neck activation parity."""
+    torch.manual_seed(0)
+    ref = build_reference(backbone="hrnet")
+    state_dict = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    from pavenet_tpu.models.detectors import VideoPoseDetector
+    from pavenet_tpu.utils.weight_convert import convert_petr_state_dict
+
+    mine = VideoPoseDetector(
+        num_frames=1, num_keypoints=K, num_query=NQ, max_gt=4,
+        backbone_type="hrnet", hrnet_width=32, embed_dims=EMBED,
+        num_encoder_layers=ENC_LAYERS, num_decoder_layers=DEC_LAYERS,
+        num_refine_layers=REF_LAYERS, feedforward_channels=128,
+        dropout=0.0, max_per_img=5, kpt_loss="l1", with_rescoring=False,
+        with_heatmap=True, with_nms=False,
+        query_from_encoder_token=False, detach_decoder_refs=True)
+    init_batch = dict(
+        img=jnp.zeros((B, 1, H, W, 3), jnp.float32),
+        img_shape=jnp.asarray([[H, W]] * B, jnp.int32),
+        scale_factor=jnp.ones((B, 2), jnp.float32),
+        gt_keypoints=jnp.zeros((B, 4, K, 3), jnp.float32),
+        gt_areas=jnp.ones((B, 4), jnp.float32),
+        gt_valid=jnp.zeros((B, 4), bool))
+    init_vars = jax.jit(lambda: mine.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        init_batch, train=True))()
+    variables = convert_petr_state_dict(
+        state_dict, init_vars["params"], num_decoder_layers=DEC_LAYERS,
+        num_refine_layers=REF_LAYERS, num_encoder_layers=ENC_LAYERS,
+        backbone_type="hrnet", hrnet_width=32)
+    assert not variables.pop("_unused_reference_keys"), "unconverted keys"
+
+    rng = np.random.RandomState(1)
+    img = rng.randn(B, 3, H, W).astype(np.float32)
+    with torch.no_grad():
+        feats_t = ref.extract_feat(torch.from_numpy(img))
+    feats = mine.apply(variables, jnp.asarray(
+        img.transpose(0, 2, 3, 1)[:, None]), method="extract_feats")
+    # neck emits 4 levels (last = extra stride); compare the mapped 3
+    for i in range(3):
+        want = feats_t[i].numpy().transpose(0, 2, 3, 1)[:, None]
+        got = np.asarray(feats[i])
+        assert got.shape == want.shape, (i, got.shape, want.shape)
+        diff = np.abs(got - want).max()
+        rel = diff / max(np.abs(want).max(), 1.0)
+        assert rel < 1e-4, (i, diff, rel)

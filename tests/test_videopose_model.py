@@ -148,3 +148,81 @@ def test_videopose_v2_freezes_backbone_and_neck():
         lambda a, b: float(jnp.abs(a - b).max()),
         state.params["head"], new_state.params["head"])
     assert max(jax.tree.leaves(hd)) > 0.0
+
+
+def test_merge_aug_detections_semantics(model_and_params):
+    """The multi-aug merge (reference ``merge_aug_results`` +
+    ``multiclass_nms``, ``videoposev1.py:224-262``): union of passes,
+    near-duplicates suppressed by box NMS, distinct detections from any
+    pass survive, ranked by score."""
+    model, variables, _ = model_and_params
+    K, M = model.num_keypoints, model.max_per_img
+
+    def person(cx, cy, size=10.0):
+        ang = np.linspace(0, 2 * np.pi, K, endpoint=False)
+        k = np.stack([cx + size * np.cos(ang), cy + size * np.sin(ang),
+                      np.ones(K)], -1)
+        return k.astype(np.float32)
+
+    def make_pass(persons, scores):
+        kpts = np.zeros((1, M, K, 3), np.float32)
+        sc = np.zeros((1, M), np.float32)
+        for i, (p, s) in enumerate(zip(persons, scores)):
+            kpts[0, i] = p
+            sc[0, i] = s
+        return dict(det_kpts=jnp.asarray(kpts), scores=jnp.asarray(sc))
+
+    p1, p2 = person(30, 30), person(70, 30)
+    p1_jit = person(30.5, 30.2)        # near-duplicate of p1 (IoU ~1)
+    p3 = person(30, 80)                # only in pass 2
+    o1 = make_pass([p1, p2], [0.9, 0.8])
+    o2 = make_pass([p1_jit, p3], [0.85, 0.6])
+
+    out = model.apply(variables, [o1, o2], method="merge_aug_detections")
+    keep = np.asarray(out["keep"][0])
+    boxes = np.asarray(out["det_bboxes"][0])
+    kept_scores = sorted(boxes[keep][:, 4].tolist(), reverse=True)
+    # p1 (0.9) suppresses its jittered twin (0.85); p2 and p3 survive
+    assert kept_scores == pytest.approx([0.9, 0.8, 0.6])
+    # score-descending order with padded slots marked not-kept
+    assert boxes[0, 4] == pytest.approx(0.9)
+    # keypoint scores reset to 1 after merge (``videoposev1.py:255``)
+    assert np.allclose(np.asarray(out["det_kpts"][0])[keep][..., 2], 1.0)
+
+
+def test_multi_aug_run_inference(model_and_params):
+    """run_inference with duplicated scales must reproduce the
+    single-pass detections (the merge dedupes identical passes), and a
+    genuine two-scale + flip run must produce valid merged output."""
+    from pavenet_tpu.apis.test import run_inference, _rescale_batch
+
+    model, variables, _ = model_and_params
+    rng = np.random.RandomState(7)
+    batch = tiny_batch(rng, B=1, train=False)
+    batch["image_id"] = np.array([5])
+    batch["_row_valid"] = np.array([True])
+
+    single = run_inference(model, variables, [dict(batch)])
+    dup = run_inference(model, variables, [dict(batch)],
+                        aug_scales=[1.0, 1.0])
+    assert len(dup) <= len(single)
+    # every deduped detection matches a single-pass one (scores unique)
+    s_by_score = {round(d["score"], 6): d for d in single}
+    for d in dup:
+        match = s_by_score[round(d["score"], 6)]
+        got = np.asarray(d["keypoints"]).reshape(-1, 3)
+        want = np.asarray(match["keypoints"]).reshape(-1, 3)
+        np.testing.assert_allclose(got[:, :2], want[:, :2], atol=1e-4)
+
+    # geometry of the host rescale helper
+    fb = _rescale_batch({k: batch[k] for k in
+                         ("img", "img_shape", "scale_factor")}, 0.5)
+    assert fb["img_shape"].tolist() == [[32, 40]]
+    np.testing.assert_allclose(fb["scale_factor"], 0.5)
+
+    merged = run_inference(model, variables, [dict(batch)],
+                           aug_scales=[1.0, 0.75], flip_test=True)
+    assert merged and all(np.isfinite(d["score"]) for d in merged)
+    for d in merged:
+        k = np.asarray(d["keypoints"]).reshape(-1, 3)
+        assert np.isfinite(k).all()

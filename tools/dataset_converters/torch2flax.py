@@ -75,7 +75,8 @@ def convert(model, state_dict):
             return wc.convert_petr_state_dict(
                 state_dict, init_vars["params"],
                 backbone_type=model.backbone_type,
-                swin_depths=model.swin_depths, **common)
+                swin_depths=model.swin_depths,
+                hrnet_width=model.hrnet_width, **common)
         if model.backbone_type != "resnet":
             raise SystemExit(
                 f"video converter supports ResNet trees; got "
