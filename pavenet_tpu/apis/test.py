@@ -245,6 +245,16 @@ def evaluate_dataset(dataset, detections: List[dict],
         num_k = getattr(dataset, "NUM_KEYPOINTS", 17)
         from ..models.losses.oks_loss import OKS_SIGMAS
         sigmas = OKS_SIGMAS.get(num_k)
+        if getattr(dataset, "EVAL_PROTOCOL", "coco") == "crowdpose":
+            # CrowdPose protocol (xtcocotools 'keypoints_crowd',
+            # reference ``crowd_pose.py:286-295``): maxDets=20,
+            # use_area=False, crowd-index bands
+            from ..core.eval.coco_keypoint_eval import CrowdPoseKeypointEval
+            crowd_res = CrowdPoseKeypointEval(
+                dataset.coco, dt, sigmas=sigmas).evaluate()
+            results.update(
+                {f"keypoints_{k}": v for k, v in crowd_res.items()})
+            return results
         coco_res = COCOKeypointEval(
             dataset.coco, dt, sigmas=sigmas, max_dets=max_dets).evaluate()
         results.update({f"coco/{k}": v for k, v in coco_res.items()})

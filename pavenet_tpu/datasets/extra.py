@@ -20,6 +20,10 @@ class CrowdPoseDataset(CocoPoseDataset):
     CLASSES = ("person",)
     NUM_KEYPOINTS = 14
     FLIP_PAIRS = ((0, 1), (2, 3), (4, 5), (6, 7), (8, 9), (10, 11))
+    # xtcocotools 'keypoints_crowd' protocol: use_area=False OKS +
+    # crowd-index AP(E)/AP(M)/AP(H) bands (reference
+    # ``opera/datasets/crowd_pose.py:286-295``)
+    EVAL_PROTOCOL = "crowdpose"
 
 
 @DATASETS.register_module()

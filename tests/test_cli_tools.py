@@ -145,3 +145,47 @@ model = dict(bbox_head=dict(
     lv = np.asarray(variables["params"]["head"]["level_embeds"])
     want = ref.state_dict()["bbox_head.transformer.level_embeds"].numpy()
     np.testing.assert_allclose(lv, want, atol=0)
+
+
+def test_eval_metric_crowdpose_protocol(tmp_path):
+    """The CrowdPose config must evaluate through the keypoints_crowd
+    protocol: perfect detections -> keypoints_AP(E|M|H) keys at 1.0 /
+    -1.0 (empty bands) from the CLI (reference crowd_pose.py:286-295)."""
+    rng = np.random.RandomState(0)
+    K = 14
+    images, annotations = [], []
+    kpts = {}
+    for i, ci in enumerate((0.05, 0.5, 0.9), start=1):
+        images.append(dict(id=i, file_name=f"{i}.jpg", width=640,
+                           height=480, crowdIndex=ci))
+        k = np.zeros((K, 3))
+        k[:, 0] = rng.uniform(100, 540, K)
+        k[:, 1] = rng.uniform(100, 380, K)
+        k[:, 2] = 2
+        kpts[i] = k
+        annotations.append(dict(
+            id=i, image_id=i, category_id=1,
+            keypoints=k.reshape(-1).tolist(), bbox=[50, 50, 90, 120],
+            area=90 * 120.0, num_keypoints=K, iscrowd=0))
+    ann_file = str(tmp_path / "crowdpose_gt.json")
+    with open(ann_file, "w") as f:
+        json.dump(dict(images=images, annotations=annotations,
+                       categories=[dict(id=1, name="person")]), f)
+    dets = [dict(image_id=i, category_id=1, score=0.95,
+                 keypoints=k.reshape(-1).tolist())
+            for i, k in kpts.items()]
+    dets_file = str(tmp_path / "dets.json")
+    with open(dets_file, "w") as f:
+        json.dump(dets, f)
+
+    cfg = ("configs/petr/"
+           "petr_swin-l-p4-w7-224-22kto1k_16x1_100e_crowdpose.py")
+    r = run_cli(["tools/eval_metric.py", cfg, dets_file,
+                 "--cfg-options", f"data.test.ann_file={ann_file}",
+                 f"data.test.img_prefix={tmp_path}",
+                 "data.test.test_mode=true"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = r.stdout + r.stderr
+    for key in ("keypoints_AP(E): 1.0000", "keypoints_AP(M): 1.0000",
+                "keypoints_AP(H): 1.0000", "keypoints_AP: 1.0000"):
+        assert key in out, out[-2000:]
