@@ -37,11 +37,17 @@ def main():
                         choices=["deformable", "windowed"],
                         help="'windowed' = opt-in TPU-mode dense "
                              "local-attention encoder (non-parity)")
+    parser.add_argument("--compile-cache", default=None,
+                        help="persistent XLA compilation cache dir "
+                             "('off' disables)")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
     from pavenet_tpu.models.zoo import pavenet_r50_frames3, dummy_clip_batch
+    from pavenet_tpu.utils import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache(args.compile_cache)
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = pavenet_r50_frames3(dtype=dtype,
@@ -153,6 +159,10 @@ def main():
     }
     if b2_clips_per_sec is not None:
         extra["b2_clips_per_sec"] = round(b2_clips_per_sec, 3)
+    # cold vs warm init: with the persistent compilation cache the second
+    # process's compiles are cache hits (seconds instead of minutes)
+    extra["compile_s"] = round(compile_s, 1)
+    extra["compile_cache"] = bool(cache_dir)
     if args.encoder_mode != "deformable":
         # non-parity TPU-mode variant: label it so the headline metric
         # is never mistaken for the parity model's number

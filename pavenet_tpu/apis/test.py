@@ -229,7 +229,11 @@ def evaluate_dataset(dataset, detections: List[dict],
 
     results = OrderedDict()
     if detections and "keypoints" not in detections[0]:
-        # detection/instance-seg models (SOIT, DK-DETR, Objects365)
+        # detection/instance-seg models (SOIT, DK-DETR, Objects365);
+        # protocol-specific datasets (LVIS federated, VOC mAP) own their
+        # evaluator
+        if hasattr(dataset, "evaluate_detections"):
+            return dataset.evaluate_detections(detections)
         from ..core.eval.coco_det_eval import COCODetEval
         dt = dataset.coco.load_res(detections)
         bbox_res = COCODetEval(dataset.coco, dt, iou_type="bbox").evaluate()

@@ -136,11 +136,15 @@ class LVISV1Dataset(CocoInstanceDataset):
         return [a["category_id"]
                 for a in self.coco.img_to_anns.get(info["id"], [])]
 
-    def evaluate_detections(self, detections, metrics=("bbox",)):
+    def evaluate_detections(self, detections, metrics=None):
         """LVIS protocol evaluation (maxDets=300, federated gating,
         frequency-band APr/APc/APf)."""
         from collections import OrderedDict
         from ..core.eval.lvis_eval import LVISDetEval
+        if metrics is None:
+            metrics = (("bbox", "segm")
+                       if detections and "segmentation" in detections[0]
+                       else ("bbox",))
         results = OrderedDict()
         dt = self.coco.load_res(detections)
         for metric in metrics:

@@ -176,12 +176,16 @@ def _build_soit(cfg, train_cfg, test_cfg, dtype):
             cls_emb_dim=text_enc.get("text_dim", 512),
             temperature=cfg.get("temperature", 0.05))
 
+    enc_layers = transformer.get("encoder", {}).get("transformerlayers", {})
     return SOITDetector(
         norm_eval=backbone.get("norm_eval", True),
         **dk_kwargs,
         num_classes=head.get("num_classes", 80),
         num_query=head.get("num_query", 300),
+        max_gt=head.get("max_gt", 30),
         backbone_depth=backbone.get("depth", 50),
+        embed_dims=enc_layers.get("attn_cfgs", {}).get("embed_dims", 256),
+        feedforward_channels=enc_layers.get("feedforward_channels", 1024),
         num_encoder_layers=transformer.get("encoder", {}).get(
             "num_layers", 6),
         num_decoder_layers=transformer.get("decoder", {}).get(

@@ -68,7 +68,7 @@ class VideoPoseDetector(nn.Module):
     num_classes: int = 1
     num_query: int = 300
     max_gt: int = 30
-    backbone_type: str = "resnet"        # 'resnet' | 'swin'
+    backbone_type: str = "resnet"        # 'resnet' | 'swin' | 'hrnet'
     backbone_depth: int = 50
     backbone_out_indices: Tuple[int, ...] = (1, 2, 3)
     swin_embed_dims: int = 192           # Swin-L defaults

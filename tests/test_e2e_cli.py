@@ -89,3 +89,143 @@ def test_train_then_test_cli(synth_data, tmp_path):
     # untrained tiny model: just require well-formed detections
     for d in dets[:3]:
         assert len(d["keypoints"]) == 45 and "score" in d
+
+
+def test_test_cli_show_and_format_only(synth_data, tmp_path):
+    """--show-dir / --show-score-thr / --format-only surface
+    (reference tools/test.py:51-66)."""
+    ann_file, root = synth_data
+    # a checkpoint to restore: untrained init saved via orbax
+    import orbax.checkpoint as ocp
+    import jax
+    sys.path.insert(0, REPO)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    from pavenet_tpu import Config
+    from pavenet_tpu.config import replace_cfg_vals
+    from pavenet_tpu.models.builder import build_detector
+    from pavenet_tpu.models.zoo import dummy_clip_batch
+
+    cfg = "configs/videopose/pavenet_tiny_debug.py"
+    model = build_detector(replace_cfg_vals(
+        Config.fromfile(os.path.join(REPO, cfg))).model)
+    dummy = dummy_clip_batch(
+        np.random.RandomState(0), num_frames=3, height=192, width=256,
+        num_keypoints=15, max_gt=10, train=True)
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, dummy, train=True))()
+    ckpt = str(tmp_path / "ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt, {"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {})})
+    ckptr.wait_until_finished()
+
+    show_dir = str(tmp_path / "shown")
+    out_json = str(tmp_path / "dets.json")
+    r = run_cli(["tools/test.py", cfg, ckpt,
+                 "--format-only", "--out", out_json,
+                 "--show-dir", show_dir, "--show-score-thr", "0.0",
+                 "--cfg-options",
+                 f"data.test.ann_file={ann_file}",
+                 f"data.test.img_prefix={root}",
+                 "data.test.test_mode=true"])
+    assert r.returncode == 0, r.stderr[-3000:]
+    logs = r.stdout + r.stderr
+    # --format-only: detections dumped, no metric lines
+    assert os.path.exists(out_json)
+    assert "posetrack/Mean" not in logs and "coco/AP" not in logs
+    rendered = os.listdir(show_dir)
+    assert rendered, logs[-2000:]
+    import cv2
+    im = cv2.imread(os.path.join(show_dir, rendered[0]))
+    assert im is not None and im.shape[2] == 3
+
+
+@pytest.fixture(scope="module")
+def synth_det_data(tmp_path_factory):
+    """Synthetic COCO-instance dataset (images + polygon annotations)."""
+    import cv2
+    root = tmp_path_factory.mktemp("det_e2e")
+    (root / "imgs").mkdir()
+    rng = np.random.RandomState(0)
+    H, W = 64, 96
+    images, annotations = [], []
+    aid = 1
+    for i in (1, 2):
+        img = (rng.rand(H, W, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "imgs" / f"{i}.jpg"), img)
+        images.append(dict(id=i, file_name=f"imgs/{i}.jpg",
+                           width=W, height=H))
+        for j in range(2):
+            x, y, w, h = 10 + 30 * j, 10, 20, 25
+            annotations.append(dict(
+                id=aid, image_id=i, category_id=j + 1,
+                bbox=[x, y, w, h], area=float(w * h), iscrowd=0,
+                segmentation=[[x, y, x + w, y, x + w, y + h, x, y + h]]))
+            aid += 1
+    ann = dict(images=images, annotations=annotations,
+               categories=[dict(id=c + 1, name=str(c)) for c in range(5)])
+    ann_file = root / "instances.json"
+    ann_file.write_text(json.dumps(ann))
+    return str(ann_file), str(root)
+
+
+def test_test_cli_detection_family(synth_det_data, tmp_path):
+    """tools/test.py must drive SOIT (detection/instance-seg) end to end:
+    restore -> run_det_inference -> COCO bbox+segm eval + --show-dir
+    (round-3 ADVICE: the pose-only test CLI died on SOITDetector)."""
+    ann_file, root = synth_det_data
+    import orbax.checkpoint as ocp
+    import jax
+    sys.path.insert(0, REPO)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    from pavenet_tpu import Config
+    from pavenet_tpu.config import replace_cfg_vals
+    from pavenet_tpu.models.builder import build_detector
+
+    cfg = "configs/soit/soit_tiny_debug.py"
+    model = build_detector(replace_cfg_vals(
+        Config.fromfile(os.path.join(REPO, cfg))).model)
+    rng = np.random.RandomState(0)
+    B, H, W, G = 1, 96, 128, 4
+    boxes = np.zeros((B, G, 4), np.float32)
+    boxes[..., 0] = rng.uniform(0, 40, (B, G))
+    boxes[..., 1] = rng.uniform(0, 30, (B, G))
+    boxes[..., 2] = boxes[..., 0] + rng.uniform(10, 40, (B, G))
+    boxes[..., 3] = boxes[..., 1] + rng.uniform(10, 30, (B, G))
+    batch = dict(
+        img=rng.randn(B, H, W, 3).astype(np.float32),
+        img_shape=np.array([[H, W]], np.int32),
+        scale_factor=np.ones((B, 2), np.float32),
+        gt_boxes=boxes,
+        gt_labels=rng.randint(0, 5, (B, G)).astype(np.int64),
+        gt_masks=(rng.rand(B, G, H, W) > 0.7).astype(np.float32),
+        gt_valid=np.ones((B, G), bool))
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0),
+         "dropout": jax.random.PRNGKey(1)}, batch, train=True))()
+    ckpt = str(tmp_path / "soit_ckpt")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(ckpt, {"params": variables["params"],
+                      "batch_stats": variables.get("batch_stats", {})})
+    ckptr.wait_until_finished()
+
+    show_dir = str(tmp_path / "shown")
+    out_json = str(tmp_path / "dets.json")
+    r = run_cli(["tools/test.py", cfg, ckpt,
+                 "--out", out_json, "--show-dir", show_dir,
+                 "--show-score-thr", "0.0",
+                 "--cfg-options",
+                 f"data.test.ann_file={ann_file}",
+                 f"data.test.img_prefix={root}",
+                 "data.test.test_mode=true"])
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-3000:])
+    logs = r.stdout + r.stderr
+    assert "bbox/AP" in logs and "segm/AP" in logs, logs[-2000:]
+    with open(out_json) as f:
+        dets = json.load(f)
+    assert dets and all("bbox" in d and "segmentation" not in d
+                        for d in dets)
+    assert os.listdir(show_dir)

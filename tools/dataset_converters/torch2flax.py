@@ -130,8 +130,9 @@ def main():
     ckptr.wait_until_finished()
     import jax
     n = sum(x.size for x in jax.tree.leaves(variables["params"]))
-    print(f"wrote {out} ({n:,} params); load with tools/test.py "
-          f"{args.config} {out}")
+    print(f"wrote {out} ({n:,} params); evaluate with "
+          f"tools/test.py {args.config} {out}"
+          f"{' --eval bbox' if type(model).__name__ != 'VideoPoseDetector' else ''}")
 
 
 if __name__ == "__main__":

@@ -3,7 +3,13 @@
 
 Usage:
     python tools/test.py <config.py> <checkpoint> [--eval keypoints]
-        [--out results.json] [--cfg-options k=v ...]
+        [--out results.json] [--format-only] [--show-dir DIR]
+        [--show-score-thr S] [--flip-test] [--aug-scales 1.0 0.75]
+        [--cfg-options k=v ...]
+
+Dispatches on the model family: pose models (PAVE-Net video / PETR) run
+the keypoint path; SOIT / InsPose / DK-DETR run the detection /
+instance-segmentation path (boxes + masks).
 """
 import argparse
 import json
@@ -19,29 +25,73 @@ if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
 
 
 def parse_args():
-    p = argparse.ArgumentParser(description="Test a pose model")
+    p = argparse.ArgumentParser(description="Test a model")
     p.add_argument("config")
     p.add_argument("checkpoint")
     p.add_argument("--eval", default="keypoints")
     p.add_argument("--flip-test", action="store_true",
                    help="test-time horizontal-flip merge (reference "
                         "aug_test, videoposev1.py:224)")
+    p.add_argument("--aug-scales", type=float, nargs="+", default=None,
+                   help="multi-scale TTA ratios (merged with "
+                        "merge_aug_results semantics; combine with "
+                        "--flip-test for scales x flip)")
     p.add_argument("--out", default=None,
                    help="dump detections json")
+    p.add_argument("--format-only", action="store_true",
+                   help="dump --out without evaluating (reference "
+                        "tools/test.py:58)")
+    p.add_argument("--show-dir", default=None,
+                   help="render detections onto the source images here "
+                        "(reference tools/test.py:51-56 --show-dir)")
+    p.add_argument("--show-score-thr", type=float, default=0.3,
+                   help="score threshold for --show-dir rendering")
+    p.add_argument("--compile-cache", default=None,
+                   help="persistent XLA compilation cache dir "
+                        "('off' disables; default ~/.cache/pavenet_tpu)")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
+
+
+def show_results(dataset, detections, show_dir, score_thr, logger):
+    """Render per-image detections (``--show-dir``)."""
+    from pavenet_tpu.utils.visualize import render_detections
+    os.makedirs(show_dir, exist_ok=True)
+    by_img = {}
+    for d in detections:
+        by_img.setdefault(d["image_id"], []).append(d)
+    infos = {info["id"]: info for info in dataset.data_infos}
+    class_names = getattr(dataset, "CLASSES", None)
+    n = 0
+    for img_id, dets in by_img.items():
+        info = infos.get(img_id)
+        if info is None:
+            continue
+        src = os.path.join(dataset.img_prefix, info["file_name"])
+        out_file = os.path.join(
+            show_dir, os.path.basename(info["file_name"]))
+        try:
+            render_detections(src, dets, score_thr=score_thr,
+                              out_file=out_file, class_names=class_names)
+            n += 1
+        except FileNotFoundError:
+            logger.warning(f"--show-dir: missing source image {src}")
+    logger.info(f"rendered {n} images to {show_dir}")
 
 
 def main():
     args = parse_args()
     from pavenet_tpu import Config, DictAction
-    from pavenet_tpu.utils import get_root_logger
+    from pavenet_tpu.utils import get_root_logger, enable_compilation_cache
     from pavenet_tpu.models.builder import build_detector
+    from pavenet_tpu.models.detectors.soit import SOITDetector
+    from pavenet_tpu.models.detectors.inspose import InsPoseDetector
     from pavenet_tpu.registry import DATASETS
     from pavenet_tpu.datasets.loader import ClipLoader
     from pavenet_tpu.datasets.pipelines import build_test_pipeline
     from pavenet_tpu.apis.test import (
-        run_inference, evaluate_dataset, gather_detections)
+        run_inference, run_det_inference, evaluate_dataset,
+        gather_detections)
     from pavenet_tpu.apis.train import create_train_state
     from pavenet_tpu.parallel.mesh import maybe_init_distributed
     from pavenet_tpu.utils.checkpoint import restore_variables
@@ -57,9 +107,11 @@ def main():
     if args.cfg_options:
         cfg.merge_from_dict(DictAction.parse(args.cfg_options))
     logger = get_root_logger()
+    enable_compilation_cache(args.compile_cache, cfg, logger)
     maybe_init_distributed(logger)
 
     model = build_detector(cfg.model)
+    is_det = isinstance(model, (SOITDetector, InsPoseDetector))
     test_cfg = dict(cfg.data["test"])
     test_cfg.pop("pipeline", None)
     pipe_kwargs = dict(cfg.get("test_pipeline_kwargs", {}))
@@ -80,25 +132,60 @@ def main():
                         num_shards=jax.process_count(),
                         shard_index=jax.process_index())
 
-    # initialize a state skeleton, then restore the checkpoint into it
-    rng = np.random.RandomState(0)
-    dummy = dummy_clip_batch(
-        rng, num_frames=model.num_frames, height=256, width=448,
-        num_keypoints=model.num_keypoints,
-        max_gt=min(model.max_gt, model.num_query), train=True)
-    state, _ = create_train_state(model, dummy, seed=0)
-    variables = restore_variables(
-        os.path.abspath(args.checkpoint), state.params, state.batch_stats)
+    if is_det:
+        # detection / instance-seg family: the checkpoint tree is
+        # self-describing (no skeleton needed); single-frame inputs
+        variables = restore_variables(os.path.abspath(args.checkpoint))
+        text_feats = None
+        tf_path = cfg.model.get("text_encoder", {}).get("text_feat_path")
+        if tf_path:  # DK-DETR classifies against text embeddings
+            text_feats = np.load(tf_path).astype(np.float32)
+            logger.info(f"text embeddings: {tf_path} {text_feats.shape}")
 
-    detections = gather_detections(
-        run_inference(model, variables, loader, logger=logger,
-                      flip_test=args.flip_test, mesh=mesh))
+        def det_batches():
+            for b in loader:
+                b = dict(b)
+                b["img"] = b["img"][:, 0]  # (B, T=1, H, W, 3) -> (B, ...)
+                if text_feats is not None:
+                    b["text_feats"] = text_feats
+                yield b
+
+        det_score_thr = (cfg.model.get("test_cfg") or {}).get(
+            "score_thr", 0.05)
+        detections = gather_detections(run_det_inference(
+            model, variables, det_batches(), score_thr=det_score_thr,
+            logger=logger, mesh=mesh))
+        # binary masks -> RLE-free polygon-less payload is not
+        # json-serializable; keep masks only for eval/show, strip for --out
+        dump = [{k: v for k, v in d.items() if k != "segmentation"}
+                for d in detections] if args.out else None
+    else:
+        # initialize a state skeleton, then restore the checkpoint into it
+        rng = np.random.RandomState(0)
+        dummy = dummy_clip_batch(
+            rng, num_frames=model.num_frames, height=256, width=448,
+            num_keypoints=model.num_keypoints,
+            max_gt=min(model.max_gt, model.num_query), train=True)
+        state, _ = create_train_state(model, dummy, seed=0)
+        variables = restore_variables(
+            os.path.abspath(args.checkpoint), state.params,
+            state.batch_stats)
+        detections = gather_detections(
+            run_inference(model, variables, loader, logger=logger,
+                          flip_test=args.flip_test,
+                          aug_scales=args.aug_scales, mesh=mesh))
+        dump = detections
     if jax.process_index() != 0:
         return
     if args.out:
         with open(args.out, "w") as f:
-            json.dump(detections, f)
+            json.dump(dump, f)
         logger.info(f"wrote {len(detections)} detections to {args.out}")
+    if args.show_dir:
+        show_results(dataset, detections, args.show_dir,
+                     args.show_score_thr, logger)
+    if args.format_only:
+        return
     results = evaluate_dataset(dataset, detections)
     for k, v in results.items():
         logger.info(f"{k}: {v:.4f}" if isinstance(v, float) else f"{k}: {v}")

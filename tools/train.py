@@ -41,6 +41,9 @@ def parse_args():
                    help="capture a jax.profiler trace of steps 2-4 here")
     p.add_argument("--no-validate", action="store_true",
                    help="skip per-epoch evaluation on data.val")
+    p.add_argument("--compile-cache", default=None,
+                   help="persistent XLA compilation cache dir "
+                        "('off' disables; default ~/.cache/pavenet_tpu)")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -74,6 +77,8 @@ def main():
     logger = get_root_logger(
         os.path.join(work_dir, f"{time.strftime('%Y%m%d_%H%M%S')}.log"))
     set_random_seed(args.seed)
+    from pavenet_tpu.utils import enable_compilation_cache
+    enable_compilation_cache(args.compile_cache, cfg, logger)
 
     import jax
     from pavenet_tpu.models.builder import build_detector
