@@ -152,3 +152,48 @@ def test_trainable_bn_train_step_updates_stats():
     p0 = np.asarray(state.params["backbone"]["layer2_0"]["bn1"]["scale"])
     p1 = np.asarray(state2.params["backbone"]["layer2_0"]["bn1"]["scale"])
     assert np.abs(p0 - p1).max() > 0, "trainable BN affine frozen"
+
+
+def test_clip_text_encoder_math_offline():
+    """Prompt templating + ensembling math (reference
+    ``text_encoder.py:147-150,176-179``) against a stub embedding model —
+    the HF call is the only part left untested offline."""
+    import numpy as np
+    from pavenet_tpu.models.text_encoder import (
+        CLIPTextEncoder, VILD_TEMPLATES, build_prompts,
+        ensemble_prompt_embeddings)
+
+    names = ["cat", "stop sign"]
+    templates = ("a photo of a {}.", "itap of my {}.", "the toy {}.")
+    prompts = build_prompts(names, templates)
+    # prompt-major order: [t0(c0), t0(c1), t1(c0), t1(c1), ...]
+    assert prompts == [
+        "a photo of a cat.", "a photo of a stop sign.",
+        "itap of my cat.", "itap of my stop sign.",
+        "the toy cat.", "the toy stop sign."]
+    assert len(VILD_TEMPLATES) == 63  # the full ViLD ensemble
+
+    # stub embedder: deterministic per-prompt vectors
+    D = 8
+    rng = np.random.RandomState(0)
+    table = {p: rng.randn(D).astype(np.float32) for p in prompts}
+
+    def embed_fn(ps):
+        return np.stack([table[p] for p in ps])
+
+    enc = CLIPTextEncoder(names, templates=templates, embed_fn=embed_fn)
+    feats = enc.get_text_feat()
+    assert feats.shape == (2, D)
+    # reference math: raw (un-normalized) mean over templates per class
+    want_cat = np.mean([table[t.format("cat")] for t in templates], 0)
+    np.testing.assert_allclose(feats[0], want_cat, rtol=1e-6)
+    want_sign = np.mean(
+        [table[t.format("stop sign")] for t in templates], 0)
+    np.testing.assert_allclose(feats[1], want_sign, rtol=1e-6)
+    # cached second call
+    assert enc.get_text_feat() is feats
+
+    # ensemble helper rejects shape mismatches
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        ensemble_prompt_embeddings(np.zeros((5, D)), 3, 2)
