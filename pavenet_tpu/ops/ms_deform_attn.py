@@ -420,8 +420,14 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations,
         wts = wts.reshape(B, Q * k, H, L, 4)
         out = ms_deform_attn_pallas(value, spatial_shapes, loc, wts)
         return out.reshape(B, Q, k, -1).sum(2)
-    # rematerialize the sampling in backward: the gathered-tap intermediates
-    # are the dominant training-memory cost (recompute beats storing them)
+    # rematerialize the sampling in backward: the gathered-tap
+    # intermediates are the dominant training-memory cost (recompute
+    # beats storing them).  Measured UNCONDITIONAL even at decoder
+    # scale: dropping the checkpoint for small-tap calls (pose/joint
+    # attention, taps ~14M elems) made the full fwd+grad 925 -> 1016 ms
+    # at 800x1344 bf16 — storing taps extends their live range across
+    # the backward and loses more to scheduling than the recompute
+    # costs (PERF_NOTES "Round 4: training backward anatomy").
     fn = jax.checkpoint(
         lambda v, l, w: ms_deform_attn_xla(v, spatial_shapes, l, w))
     return fn(value, sampling_locations, attention_weights)

@@ -73,6 +73,7 @@ def main():
 
     cases = {
         "base": {},
+        "drop0": dict(dropout=0.0),   # dropout-RNG + mask cost
         "enc3": dict(num_encoder_layers=3),
         "enc1": dict(num_encoder_layers=1),
         "frozen": dict(freeze_backbone_neck=True),
