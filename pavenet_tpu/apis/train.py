@@ -156,13 +156,32 @@ def build_optimizer(params,
     return tx
 
 
+_THREEFRY = (None, "threefry", "threefry2x32")
+
+
 def create_train_state(model, batch, seed: int = 0, tx=None,
                        tx_kwargs: Optional[Dict] = None,
-                       ema_decay: float = 0.0) -> TrainState:
+                       ema_decay: float = 0.0,
+                       prng_impl: Optional[str] = None) -> TrainState:
     """Initialize params (jitted — eager init is pathologically slow over
-    remote device tunnels) and the optimizer state."""
-    key = jax.random.PRNGKey(seed)
-    pkey, dkey, rkey = jax.random.split(key, 3)
+    remote device tunnels) and the optimizer state.
+
+    ``prng_impl``: PRNG implementation for the training rng stream
+    (dropout masks).  ``'rbg'`` uses the hardware bit generator for mask
+    bits (threefry for splits) — measured 925 -> 892 ms/step on the
+    flagship at 800x1344 bf16 (PERF_NOTES "Round 4: training backward
+    anatomy"); still deterministic per seed, but the bit stream is
+    backend/compiler-version specific, unlike threefry.  ``state.rng``
+    stores the raw key data (plain uint32 array) so checkpoints never
+    carry typed-key leaves; pass the same ``prng_impl`` to
+    ``make_train_step``."""
+    if prng_impl in _THREEFRY:
+        key = jax.random.PRNGKey(seed)
+        pkey, dkey, rkey = jax.random.split(key, 3)
+    else:
+        key = jax.random.key(seed, impl=prng_impl)
+        pkey, dkey, rk = jax.random.split(key, 3)
+        rkey = jax.random.key_data(rk)
 
     variables = jax.jit(
         lambda: model.init({"params": pkey, "dropout": dkey}, batch,
@@ -180,7 +199,8 @@ def create_train_state(model, batch, seed: int = 0, tx=None,
 
 
 def make_train_step(model, tx, mesh=None, axis_name: str = "data",
-                    donate: bool = True, ema_decay: float = 0.0):
+                    donate: bool = True, ema_decay: float = 0.0,
+                    prng_impl: Optional[str] = None):
     """Build the jitted (optionally mesh-sharded) train step.
 
     Batch axis sharded over the mesh; state replicated.  Matching, losses
@@ -195,7 +215,12 @@ def make_train_step(model, tx, mesh=None, axis_name: str = "data",
     trainable_bn = not getattr(model, "norm_eval", True)
 
     def step_fn(state: TrainState, batch):
-        rng, dropout_key = jax.random.split(state.rng)
+        if prng_impl in _THREEFRY:
+            rng, dropout_key = jax.random.split(state.rng)
+        else:
+            k1, dropout_key = jax.random.split(
+                jax.random.wrap_key_data(state.rng, impl=prng_impl))
+            rng = jax.random.key_data(k1)
 
         def loss_fn(params):
             variables = {"params": params,

@@ -180,6 +180,82 @@ def _ms_deform_attn_fwd_impl(value: jnp.ndarray,
     return out.reshape(B, Q, nheads * D)
 
 
+# taps-per-(batch*head) ceiling for the dense (matmul) value gradient:
+# its FLOPs scale with sum_l H_l*W_l*D per tap (~5.5 ns/tap at decoder
+# scale on v5e) while the scatter costs ~68 ns/tap but is N-independent.
+# Decoder-family calls (Q*P <= ~4.5k) win ~40x with dense; encoder-scale
+# calls (Q*P ~90k) would pay teraflops and stay on the scatter (the hot
+# encoder path uses the Pallas corner-stream backward anyway).
+_DENSE_GRAD_MAX_TAPS = 16384
+
+
+def _grad_value_dense(value, shapes, locations, weights, g):
+    """grad wrt value as per-level structured-one-hot matmuls (no scatter).
+
+    The 2x2 bilinear footprint is separable: the four corner updates of a
+    tap at block (ys, xs) are (wy0 + wy1 shifted) x (wx0 + wx1 shifted),
+    so the accumulated gradient over taps factors into
+
+        g_val[y, x, d] = sum_q wy_d[q, y] * wx_d[q, x] * upd[q, d]
+
+    with ``wy_d``/``wx_d`` built by iota-compare (two nonzeros per row —
+    never materialized as scatter indices) and the attention weight
+    folded into ``wx_d``.  One einsum per level contracts over taps on
+    the MXU; the TPU scatter unit (measured ~68 ns/tap, 145 ms for one
+    pose-attention call) is bypassed entirely.  Semantics identical to
+    ``_grad_value_rows``: block starts clamped to [0, H-2], degenerate
+    H<2 / W<2 levels drop the +1 term because the iota never matches.
+
+    Matmul operands are taken at ``value.dtype`` (fp32 accumulation):
+    f32 models (every parity/exactness gate) contract exactly at
+    HIGHEST; bf16 models round the per-tap updates to bf16, one extra
+    rounding below the model's own activation quantization floor — the
+    same dtype-derived contract as the Pallas kernels' MXU precision
+    (``pallas/msda.py:_mxu_precision``).
+    """
+    B, N, nheads, D = value.shape
+    Q = locations.shape[1]
+    BH = B * nheads
+    cdtype = value.dtype
+    prec = (jax.lax.Precision.DEFAULT if cdtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    g_bh = g.reshape(B, Q, nheads, D).transpose(0, 2, 1, 3).reshape(
+        BH, Q, 1, D).astype(cdtype)
+    pieces = []
+    for lvl, (H, W) in enumerate(shapes):
+        loc = locations[:, :, :, lvl]
+        attn = weights[:, :, :, lvl].astype(jnp.float32)
+        P = loc.shape[3]
+        x = loc[..., 0].astype(jnp.float32) * W - 0.5
+        y = loc[..., 1].astype(jnp.float32) * H - 0.5
+        ys = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(H - 2, 0))
+        xs = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, max(W - 2, 0))
+        wy0 = jnp.maximum(1.0 - jnp.abs(y - ys), 0.0)
+        wy1 = jnp.maximum(1.0 - jnp.abs(y - (ys + 1)), 0.0)
+        wx0 = jnp.maximum(1.0 - jnp.abs(x - xs), 0.0)
+        wx1 = jnp.maximum(1.0 - jnp.abs(x - (xs + 1)), 0.0)
+        tr = lambda a: a.transpose(0, 2, 1, 3).reshape(BH, Q * P)
+        ys_, xs_ = tr(ys), tr(xs)
+        yy = jnp.arange(H, dtype=jnp.int32)
+        xx = jnp.arange(W, dtype=jnp.int32)
+        wy_d = (tr(wy0)[..., None] * (yy == ys_[..., None])
+                + tr(wy1)[..., None]
+                * (yy == ys_[..., None] + 1)).astype(cdtype)
+        wx_d = ((tr(wx0) * tr(attn))[..., None] * (xx == xs_[..., None])
+                + (tr(wx1) * tr(attn))[..., None]
+                * (xx == xs_[..., None] + 1)).astype(cdtype)
+        upd = jnp.broadcast_to(g_bh, (BH, Q, P, D)).reshape(BH, Q * P, D)
+        m1 = (wx_d[..., :, None] * upd[..., None, :]).reshape(
+            BH, Q * P, W * D)
+        out_l = jnp.einsum("bqy,bqm->bym", wy_d, m1,
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
+        pieces.append(out_l.reshape(BH, H * W, D))
+    out = jnp.concatenate(pieces, 1)
+    return out.reshape(B, nheads, N, D).transpose(0, 2, 1, 3).astype(
+        value.dtype)
+
+
 def _grad_value_rows(value, shapes, locations, weights, g):
     """grad wrt value via per-corner row scatter-adds (fast on TPU)."""
     B, N, nheads, D = value.shape
@@ -235,7 +311,10 @@ def _msda_xla_bwd(spatial_shapes, res, g):
         lambda l, w: _ms_deform_attn_fwd_impl(value, spatial_shapes, l, w),
         locs, weights)
     g_loc, g_w = vjp_lw(g)
-    g_val = _grad_value_rows(value, shapes, locs, weights, g)
+    if locs.shape[1] * locs.shape[4] <= _DENSE_GRAD_MAX_TAPS:
+        g_val = _grad_value_dense(value, shapes, locs, weights, g)
+    else:
+        g_val = _grad_value_rows(value, shapes, locs, weights, g)
     return g_val, g_loc, g_w
 
 

@@ -212,3 +212,24 @@ def test_row_align_levels_start_chunk_aligned():
     out_d = ms_deform_attn_xla(v, SH, loc, w)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_d),
                                atol=1e-6)
+
+
+def test_grad_value_dense_equals_rows():
+    """The separable-bilinear dense value gradient (MXU matmuls, the
+    decoder-scale path) must equal the row-scatter form (the
+    encoder-scale fallback) on every level geometry, including
+    degenerate 1-row/1-col levels where the +1 corner term must drop."""
+    from pavenet_tpu.ops.ms_deform_attn import (_grad_value_dense,
+                                                _grad_value_rows)
+    rng = np.random.RandomState(3)
+    for shapes in [SHAPES, ((5, 7), (1, 3), (2, 1))]:
+        n = sum(h * w for h, w in shapes)
+        B, Q, H, L, P, D = 2, 7, 2, len(shapes), 5, 4
+        value = jnp.asarray(rng.randn(B, n, H, D), jnp.float32)
+        locs = jnp.asarray(rng.rand(B, Q, H, L, P, 2) * 1.4 - 0.2,
+                           jnp.float32)  # includes out-of-range taps
+        w = jnp.asarray(rng.rand(B, Q, H, L, P), jnp.float32)
+        g = jnp.asarray(rng.randn(B, Q, H * D), jnp.float32)
+        dense = np.asarray(_grad_value_dense(value, shapes, locs, w, g))
+        rows = np.asarray(_grad_value_rows(value, shapes, locs, w, g))
+        np.testing.assert_allclose(dense, rows, rtol=1e-5, atol=1e-6)

@@ -30,11 +30,12 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def measure(model, batch, iters, tag):
+def measure(model, batch, iters, tag, prng_impl=None):
     from pavenet_tpu.apis.train import create_train_state
 
     state, _ = create_train_state(model, batch)
-    dkey = jax.random.PRNGKey(1)
+    # typed key: flax rejects non-threefry legacy keys (uint32[4])
+    dkey = jax.random.key(1, impl=prng_impl)
 
     def loss_fn(params):
         losses = model.apply(
@@ -74,6 +75,9 @@ def main():
     cases = {
         "base": {},
         "drop0": dict(dropout=0.0),   # dropout-RNG + mask cost
+        # base arch, rbg dropout key: hardware RNG for mask bits
+        # (threefry bit-gen is the drop0-vs-base 88 ms)
+        "rbg": {},
         "enc3": dict(num_encoder_layers=3),
         "enc1": dict(num_encoder_layers=1),
         "frozen": dict(freeze_backbone_neck=True),
@@ -82,7 +86,8 @@ def main():
     }
     for name in args.cases.split(","):
         model = zoo.pavenet_r50_frames3(dtype=jnp.bfloat16, **cases[name])
-        measure(model, batch, args.iters, f"{name} {cases[name]}")
+        measure(model, batch, args.iters, f"{name} {cases[name]}",
+                prng_impl="rbg" if name == "rbg" else None)
 
 
 if __name__ == "__main__":

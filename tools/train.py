@@ -155,14 +155,21 @@ def main():
             ema_decay = 1.0 - hook.get("momentum", 0.0002)
 
     first = next(iter(epoch_loader(0)))
+    # dropout-mask PRNG: 'rbg' (hardware bit generator) by default —
+    # ~35 ms/step faster than threefry on the flagship (PERF_NOTES
+    # "Round 4: training backward anatomy"); set prng_impl='threefry2x32'
+    # in the config for a backend-portable bit stream
+    prng_impl = cfg.get("prng_impl", "rbg")
     state, tx = create_train_state(
         model, first, seed=args.seed, ema_decay=ema_decay,
+        prng_impl=prng_impl,
         tx_kwargs=dict(learning_rate=schedule,
                        weight_decay=opt_cfg.get("weight_decay", 1e-4),
                        grad_clip=clip, accumulate_steps=accum,
                        freeze_backbone_neck=getattr(
                            model, "freeze_backbone_neck", False)))
-    train_step = make_train_step(model, tx, mesh=mesh, ema_decay=ema_decay)
+    train_step = make_train_step(model, tx, mesh=mesh, ema_decay=ema_decay,
+                                 prng_impl=prng_impl)
 
     start_epoch = 0
     resume = args.resume_from or (
