@@ -15,7 +15,7 @@ GEN=data/synthetic_posetrack
 
 python tools/train.py configs/videopose/pavenet_r50_frames3_synthetic.py \
     --work-dir work_dirs/synth_teacher --seed 0 || exit 1
-TEACHER=$(ls -d work_dirs/synth_teacher/epoch_* | sort -V | tail -1)
+TEACHER=$(ls -d work_dirs/synth_teacher/step_* | sort -V | tail -1)
 
 python tools/test.py configs/videopose/pavenet_r50_frames3_synthetic.py \
     "$TEACHER" --eval keypoints --out work_dirs/synth_teacher/val_results.pkl \
