@@ -88,6 +88,40 @@ def window_unpartition(w, B, Hl, Wl, wh=WINDOW[0], ww=WINDOW[1],
     return x.reshape((B, Hl * Wl) + trail)
 
 
+def _attend_level_pallas(q, k, v, kpm, Hl, Wl, num_heads, wh, ww, shift):
+    """One level's window attention through the fused Pallas kernel.
+
+    Equivalent math to the XLA partition path below, but scores/softmax
+    never leave VMEM and q/k/v stay in raster layout (shift-roll and
+    window-multiple padding are the only XLA-side copies).  ``v`` is
+    already zeroed at padded keys by the caller.
+    """
+    from ...ops.pallas.window_attn import window_attention
+
+    B, n, C = q.shape
+    keep = (jnp.ones((B, n), jnp.float32) if kpm is None
+            else 1.0 - kpm.astype(jnp.float32))
+    rasters = [x.reshape(B, Hl, Wl, -1) for x in (q, k, v)]
+    keep = keep.reshape(B, Hl, Wl)
+    if shift:
+        rasters = [jnp.roll(x, (-(wh // 2), -(ww // 2)), axis=(1, 2))
+                   for x in rasters]
+        keep = jnp.roll(keep, (-(wh // 2), -(ww // 2)), axis=(1, 2))
+    Hp = -(-Hl // wh) * wh
+    Wp = -(-Wl // ww) * ww
+    if (Hp, Wp) != (Hl, Wl):
+        pad3 = [(0, 0), (0, Hp - Hl), (0, Wp - Wl)]
+        rasters = [jnp.pad(x, pad3 + [(0, 0)]) for x in rasters]
+        keep = jnp.pad(keep, pad3)
+    qr, kr, vr = rasters
+    interpret = jax.default_backend() != "tpu"
+    out = window_attention(qr, kr, vr, keep, num_heads, wh, ww, interpret)
+    out = out[:, :Hl, :Wl]
+    if shift:
+        out = jnp.roll(out, (wh // 2, ww // 2), axis=(1, 2))
+    return out.reshape(B, n, C)
+
+
 class WindowedEncoderLayer(nn.Module):
     """Drop-in replacement for ``EncoderLayer`` (same call signature; the
     deformable ``reference_points`` argument is accepted and ignored)."""
@@ -98,8 +132,24 @@ class WindowedEncoderLayer(nn.Module):
     feedforward_channels: int = 1024
     dropout: float = 0.1
     shift: bool = False          # odd layers shift by half a window
-    impl: str = "auto"           # unused
+    impl: str = "auto"           # 'auto' | 'xla' | 'pallas'
     dtype: jnp.dtype = jnp.float32
+
+    def _use_pallas(self) -> bool:
+        # PAVENET_WINDOW_ATTN=pallas|xla overrides (the head-level ``impl``
+        # token is shared with the deformable sampling op, whose 'pallas'
+        # kernels are encoder-geometry-specific — this knob forces just the
+        # window-attention implementation, e.g. for CPU interpret-mode
+        # verification)
+        import os
+        env = os.environ.get("PAVENET_WINDOW_ATTN")
+        if env in ("pallas", "xla"):
+            return env == "pallas"
+        if self.impl == "xla":
+            return False
+        if self.impl == "pallas":
+            return True
+        return jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x, pos, reference_points, spatial_shapes: Shapes,
@@ -120,9 +170,18 @@ class WindowedEncoderLayer(nn.Module):
         outs = []
         start = 0
         wh, ww = WINDOW
+        use_pallas = self._use_pallas()
         for (Hl, Wl) in spatial_shapes:
             n = Hl * Wl
             sl = slice(start, start + n)
+            if use_pallas:
+                outs.append(_attend_level_pallas(
+                    q[:, sl], k[:, sl], v[:, sl],
+                    key_padding_mask[:, sl]
+                    if key_padding_mask is not None else None,
+                    Hl, Wl, Hn, wh, ww, self.shift))
+                start += n
+                continue
             qw = window_partition(q[:, sl], Hl, Wl, wh, ww, self.shift)
             kw = window_partition(k[:, sl], Hl, Wl, wh, ww, self.shift)
             vw = window_partition(v[:, sl], Hl, Wl, wh, ww, self.shift)
