@@ -57,6 +57,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, keep_ref, o_ref, *, num_heads, wh, ww):
         kw = k_ref[0, :, sl, :].reshape(S, C)
         vw = v_ref[0, :, sl, :].reshape(S, C)
         keep = keep_ref[0, :, sl].reshape(1, S) > 0.5
+        heads = []
         for h in range(num_heads):
             hs = slice(h * D, (h + 1) * D)
             s = jax.lax.dot_general(
@@ -67,8 +68,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, keep_ref, o_ref, *, num_heads, wh, ww):
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             a = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(q_ref.dtype)
-            o = jnp.dot(a, vw[:, hs], preferred_element_type=jnp.float32)
-            o_ref[0, :, sl, hs] = o.astype(o_ref.dtype).reshape(wh, ww, D)
+            heads.append(jnp.dot(a, vw[:, hs],
+                                 preferred_element_type=jnp.float32))
+        o = jnp.concatenate(heads, axis=-1)       # one wide store per window
+        o_ref[0, :, sl, :] = o.astype(o_ref.dtype).reshape(wh, ww, C)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, keep_ref, g_ref,
@@ -86,6 +89,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, keep_ref, g_ref,
         vw = v_ref[0, :, sl, :].reshape(S, C)
         gw = g_ref[0, :, sl, :].reshape(S, C)
         keep = keep_ref[0, :, sl].reshape(1, S) > 0.5
+        dqs, dks, dvs = [], [], []
         for h in range(num_heads):
             hs = slice(h * D, (h + 1) * D)
             qh, kh, vh = qw[:, hs], kw[:, hs], vw[:, hs]
@@ -102,21 +106,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, keep_ref, g_ref,
                 gh, vh.astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            dv = jax.lax.dot_general(
+            dvs.append(jax.lax.dot_general(
                 a, gh, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32))
             # softmax backward: ds = a * (da - rowsum(da * a))
             ds = a * (da - jnp.sum(da * a, axis=-1, keepdims=True))
             # masked logits have a == 0 -> ds == 0 there already
-            dq = jnp.dot(ds.astype(q_ref.dtype), kh,
-                         preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(
+            dqs.append(jnp.dot(ds.astype(q_ref.dtype), kh,
+                               preferred_element_type=jnp.float32) * scale)
+            dks.append(jax.lax.dot_general(
                 ds.astype(q_ref.dtype), qh,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            dq_ref[0, :, sl, hs] = dq.astype(dq_ref.dtype).reshape(wh, ww, D)
-            dk_ref[0, :, sl, hs] = dk.astype(dk_ref.dtype).reshape(wh, ww, D)
-            dv_ref[0, :, sl, hs] = dv.astype(dv_ref.dtype).reshape(wh, ww, D)
+                preferred_element_type=jnp.float32) * scale)
+        for ref, parts in ((dq_ref, dqs), (dk_ref, dks), (dv_ref, dvs)):
+            full = jnp.concatenate(parts, axis=-1)
+            ref[0, :, sl, :] = full.astype(ref.dtype).reshape(wh, ww, C)
 
 
 def _row_specs(B, Hp, Wp, C, *, wh, with_channels=True):
