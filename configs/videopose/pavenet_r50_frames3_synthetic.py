@@ -19,11 +19,15 @@ data = dict(
 # production pipeline would compile per bucket)
 optimizer = dict(lr=1e-4)
 optimizer_config = dict(cumulative_iters=1)
-lr_config = dict(policy='step', step=[7], warmup='linear',
+lr_config = dict(policy='step', step=[2], warmup='linear',
                  warmup_iters=200, warmup_ratio=0.001)
-runner = dict(max_epochs=8)
-checkpoint_config = dict(interval=2, max_keep_ckpts=2)
-evaluation = dict(interval=2, metric='keypoints')
+# 3 epochs x 600 clips is enough on this easy distribution (loss is
+# near-flat by epoch 2); the 1-vCPU host makes each epoch ~18 min
+# wall (host augs dominate device 0.64 s/step), so the recipe is kept
+# short deliberately
+runner = dict(max_epochs=3)
+checkpoint_config = dict(interval=1, max_keep_ckpts=1)
+evaluation = dict(interval=3, metric='keypoints')
 train_pipeline_kwargs = dict(
     max_rotate_degree=10.0,
     scale_range=((800, 1333), (800, 1333)),
