@@ -1,0 +1,57 @@
+# Small-resolution synthetic-scenes recipe (round 5) — the teacher for
+# the windowed-encoder accuracy measurement (BASELINE.md
+# "windowed-encoder accuracy").
+#
+# Round 4's 800x1344 3-epoch from-scratch attempt ended at Mean AP
+# 0.0022: at that size the 1-vCPU host caps the run at ~1800 steps per
+# wall-hour-scale budget — plain undertraining for a from-scratch
+# DETR-family model.  This recipe fixes the steps-per-wall-hour problem
+# rather than the loss: 448x768 scenes (~1/3 the pixels -> ~3x faster
+# device step), batch 2, and pre-baked augmented batches
+# (tools/bake_batches.py + --prebaked) so the host never throttles the
+# chip.  AP is watched during training (evaluation.interval) instead of
+# loss only — the round-4 failure shipped because loss was near-flat
+# while AP was 0.
+#
+# Generate the data first (448x768 native so resize is a no-op):
+#   python -m pavenet_tpu.datasets.synthetic --root data/synth_sm \
+#       --height 448 --width 768 --train-videos 250 --val-videos 40
+#   python tools/bake_batches.py \
+#       configs/videopose/pavenet_r50_frames3_synthetic_sm.py \
+#       --out data/synth_sm/baked --epochs 4
+_base_ = ['pavenet_r50_frames3_posetrack17.py']
+# FROM-SCRATCH backbone: the base config's frozen_stages=1 /
+# norm_eval=True / backbone lr_mult 0.1 are built for ImageNet-pretrained
+# weights; with random init they freeze a random stem + random BN
+# statistics — the primary root cause of round 4's AP 0.0022 teacher.
+model = dict(
+    backbone=dict(frozen_stages=-1, norm_eval=False))
+data_root = 'data/synth_sm/'
+data = dict(
+    samples_per_gpu=2,
+    train=dict(ann_file=data_root + 'train.json', img_prefix=data_root),
+    val=dict(ann_file=data_root + 'val.json', img_prefix=data_root),
+    test=dict(ann_file=data_root + 'val.json', img_prefix=data_root))
+optimizer = dict(
+    lr=1e-4,
+    paramwise_cfg=dict(
+        custom_keys={
+            'backbone': dict(lr_mult=1.0),   # from scratch: full lr
+            'sampling_offsets': dict(lr_mult=0.1),
+            'reference_points': dict(lr_mult=0.1),
+        }))
+optimizer_config = dict(cumulative_iters=1)
+# longer warmup than round 4 (the 200-step warmup saw -11 -> +15 loss
+# spikes late in training; RLE loss is spike-prone from scratch)
+lr_config = dict(policy='step', step=[16, 22], warmup='linear',
+                 warmup_iters=500, warmup_ratio=0.001)
+runner = dict(max_epochs=24)
+checkpoint_config = dict(interval=2, max_keep_ckpts=6)
+evaluation = dict(interval=4, metric='keypoints')
+train_pipeline_kwargs = dict(
+    max_rotate_degree=10.0,
+    scale_range=((448, 768), (448, 768)),
+    buckets=((448, 768),))
+test_pipeline_kwargs = dict(
+    img_scale=(768, 448),
+    buckets=((448, 768),))

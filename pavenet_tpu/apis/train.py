@@ -36,7 +36,8 @@ class TrainState:
 
 
 def _param_label(path: tuple, freeze_backbone_neck: bool = False,
-                 trainable_bn: bool = False) -> str:
+                 trainable_bn: bool = False,
+                 frozen_stages: int = 1) -> str:
     keys = [getattr(k, "key", str(k)) for k in path]
     joined = "/".join(keys)
     if freeze_backbone_neck and ("backbone" in keys or "neck" in keys):
@@ -44,11 +45,18 @@ def _param_label(path: tuple, freeze_backbone_neck: bool = False,
         # (reference runs them under no_grad, ``videoposev2.py:56-60``)
         return "frozen"
     if "backbone" in keys:
-        # frozen pieces: stem + stage 1 (frozen_stages=1 in every config).
+        # frozen pieces: stem + stages <= frozen_stages (mmdet
+        # ``_freeze_stages``; every reference config uses 1, built for
+        # ImageNet-pretrained weights).  frozen_stages=-1 freezes nothing
+        # — required for from-scratch recipes, where a frozen random stem
+        # destroys the feature extractor (the round-4 AP~0 teacher).
         # Only the backbone's *direct child* decides — every block has an
         # inner module named bn1/conv1 that must not match.
         child = keys[keys.index("backbone") + 1]
-        if child.startswith(("conv1", "bn1", "layer1_")):
+        if frozen_stages >= 0 and child.startswith(("conv1", "bn1")):
+            return "frozen"
+        if any(child.startswith(f"layer{s}_")
+               for s in range(1, frozen_stages + 1)):
             return "frozen"
         if "/bn" in joined or "downsample_bn" in joined:
             # frozen-BN configs freeze the affines; trainable-BN (DK-DETR
@@ -128,7 +136,8 @@ def build_optimizer(params,
                     backbone_lr_mult: float = 0.1,
                     offsets_lr_mult: float = 0.1,
                     freeze_backbone_neck: bool = False,
-                    trainable_bn: bool = False):
+                    trainable_bn: bool = False,
+                    frozen_stages: int = 1):
     """AdamW with per-group lr multipliers + clip + accumulation."""
     def adamw(mult, wd=weight_decay):
         if callable(learning_rate):
@@ -140,7 +149,7 @@ def build_optimizer(params,
 
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: _param_label(path, freeze_backbone_neck,
-                                     trainable_bn), params)
+                                     trainable_bn, frozen_stages), params)
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.multi_transform(

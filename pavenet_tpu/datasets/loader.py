@@ -41,6 +41,89 @@ def pad_gt(sample: dict, max_gt: int, num_keypoints: int) -> dict:
     return out
 
 
+class PrebakedLoader:
+    """Streams batches pre-serialized by ``tools/bake_batches.py``.
+
+    The bake tool runs the REAL dataset + pipeline + :class:`ClipLoader`
+    stack offline and writes every collated batch as an ``.npz``
+    (``ep{k}_{i}.npz``); this loader just reads them back with a prefetch
+    thread.  It exists for hosts where the python augmentation pipeline
+    cannot keep up with the device (the 1-vCPU synthetic-teacher recipe:
+    data_time ~0.7 s vs ~0.2 s device step — PERF_NOTES "host overhead"):
+    once baked, per-step host cost is one uncompressed file read.
+
+    Epoch ``e`` of training serves baked variant ``e % num_variants``
+    with batch order reshuffled per epoch, so a run longer than the
+    baked variants cycles augmentation variants (the underlying scenes
+    already differ per clip; variants add aug diversity on top).
+    """
+
+    def __init__(self, root: str, shuffle: bool = True, seed: int = 0,
+                 prefetch: int = 4):
+        import glob
+        import os
+        import re
+        files = sorted(glob.glob(os.path.join(root, "ep*_*.npz")))
+        if not files:
+            raise FileNotFoundError(
+                f"no baked batches (ep*_*.npz) under {root!r} — run "
+                "tools/bake_batches.py first")
+        by_epoch: dict = {}
+        for f in files:
+            m = re.match(r"ep(\d+)_", os.path.basename(f))
+            by_epoch.setdefault(int(m.group(1)), []).append(f)
+        self.variants = [sorted(v) for _, v in sorted(by_epoch.items())]
+        n0 = len(self.variants[0])
+        if any(len(v) != n0 for v in self.variants):
+            # tolerate a partially-baked last variant by dropping it
+            self.variants = [v for v in self.variants if len(v) == n0]
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self):
+        return len(self.variants[0])
+
+    @staticmethod
+    def _load(path: str) -> dict:
+        with np.load(path, allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+
+    def __iter__(self):
+        files = list(self.variants[self.epoch % len(self.variants)])
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(files)
+        self.epoch += 1
+        if self.prefetch <= 0:
+            for f in files:
+                yield self._load(f)
+            return
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error = []
+
+        def producer():
+            try:
+                for f in files:
+                    q.put(self._load(f))
+            except BaseException as e:
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                break
+            yield item
+
+
 class ClipLoader:
     """Iterates a dataset into model-ready batches.
 

@@ -43,7 +43,9 @@ def _backbone_kwargs(backbone: dict) -> dict:
             backbone_type="resnet",
             backbone_depth=backbone.get("depth", 50),
             backbone_out_indices=tuple(
-                backbone.get("out_indices", (1, 2, 3))))
+                backbone.get("out_indices", (1, 2, 3))),
+            norm_eval=backbone.get("norm_eval", True),
+            frozen_stages=backbone.get("frozen_stages", 1))
     if btype == "HRNet":
         stage4 = backbone.get("extra", {}).get("stage4", {})
         width = stage4.get("num_channels", (48,))[0]

@@ -99,6 +99,14 @@ class VideoPoseDetector(nn.Module):
     # VideoPoseV2 (reference ``videoposev2.py:56-60``): backbone + neck
     # run under no_grad at train time (fine-tune the transformer only)
     freeze_backbone_neck: bool = False
+    # mmdet ResNet freezing semantics (reference production: norm_eval
+    # True, frozen_stages 1 — built for ImageNet-pretrained backbones).
+    # From-scratch recipes (synthetic teacher) set norm_eval=False,
+    # frozen_stages=-1: trainable BN + nothing frozen.  Consumed by the
+    # ResNet module here and by build_optimizer/make_train_step (which
+    # read them off the model).
+    norm_eval: bool = True
+    frozen_stages: int = 1
     loss_cls_weight: float = 0.5
     loss_kpt_weight: float = 1.0
     loss_kpt_rpn_weight: float = 1.0
@@ -133,6 +141,8 @@ class VideoPoseDetector(nn.Module):
         else:
             self.backbone = ResNet(depth=self.backbone_depth,
                                    out_indices=self.backbone_out_indices,
+                                   norm_eval=self.norm_eval,
+                                   frozen_stages=self.frozen_stages,
                                    dtype=self.dtype, name="backbone")
         self.neck = ChannelMapper(out_channels=self.embed_dims, num_outs=4,
                                   dtype=self.dtype, name="neck")

@@ -142,6 +142,40 @@ def test_test_cli_show_and_format_only(synth_data, tmp_path):
     assert im is not None and im.shape[2] == 3
 
 
+def test_train_then_distill_cli(synth_data, tmp_path):
+    """The exact chain that died in round 4 (/tmp/apdelta_watchdog.log):
+    tools/train.py saves a teacher checkpoint with the CONFIG's optimizer
+    (cumulative_iters=2 here), then tools/distill.py restores it.  The
+    restore must be params-only — a full TrainState template built with
+    default optimizer settings rejects the opt_state tree."""
+    ann_file, root = synth_data
+    work = str(tmp_path / "teacher")
+    cfg = "configs/videopose/pavenet_tiny_debug.py"
+    overrides = [
+        "--cfg-options",
+        f"data.train.ann_file={ann_file}",
+        f"data.train.img_prefix={root}",
+    ]
+    r = run_cli(["tools/train.py", cfg, "--work-dir", work,
+                 "--max-steps", "2"] + overrides)
+    assert r.returncode == 0, r.stderr[-3000:]
+    ckpts = [d for d in os.listdir(work) if d.startswith("step_")]
+    assert ckpts, os.listdir(work)
+
+    distill_work = str(tmp_path / "student")
+    r = run_cli(["tools/distill.py",
+                 "configs/videopose/pavenet_tiny_debug_windowed.py",
+                 os.path.join(work, ckpts[-1]),
+                 "--work-dir", distill_work, "--steps", "2",
+                 "--log-interval", "1"] + overrides)
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-3000:])
+    logs = r.stdout + r.stderr
+    assert "teacher restored" in logs and "mse:" in logs, logs[-2000:]
+    s_ckpts = [d for d in os.listdir(distill_work)
+               if d.startswith("step_")]
+    assert s_ckpts, os.listdir(distill_work)
+
+
 @pytest.fixture(scope="module")
 def synth_det_data(tmp_path_factory):
     """Synthetic COCO-instance dataset (images + polygon annotations)."""

@@ -78,7 +78,6 @@ def main():
 
     import jax
     from pavenet_tpu.models.builder import build_detector
-    from pavenet_tpu.apis.train import create_train_state
     from pavenet_tpu.apis.distill import (create_distill_state,
                                           make_distill_step)
     from pavenet_tpu.parallel.mesh import make_mesh, put_batch
@@ -86,7 +85,7 @@ def main():
     from pavenet_tpu.datasets.loader import ClipLoader
     from pavenet_tpu.datasets.pipelines import build_train_pipeline
     from pavenet_tpu.utils.checkpoint import (save_checkpoint,
-                                              restore_checkpoint)
+                                              restore_variables)
 
     logger.info(f"devices: {jax.devices()}")
     student = build_detector(cfg.model)
@@ -112,15 +111,16 @@ def main():
                         shard_index=jax.process_index())
 
     first = next(iter(loader))
-    logger.info("initializing teacher (restore template) ...")
-    t_state, _ = create_train_state(teacher, first, seed=args.seed)
-    t_state = restore_checkpoint(args.teacher_checkpoint, t_state)
-    teacher_vars = {"params": t_state.params,
-                    "batch_stats": t_state.batch_stats}
+    # Distillation needs only the teacher's {params, batch_stats} — restore
+    # them template-free.  A full TrainState restore would need the exact
+    # optimizer the teacher was trained with (its opt_state tree depends on
+    # cumulative_iters etc.) and rejects any mismatch, which is both fragile
+    # and unnecessary here.
+    teacher_vars = restore_variables(args.teacher_checkpoint)
     logger.info(f"teacher restored from {args.teacher_checkpoint} "
-                f"(step {int(t_state.step)})")
+                "(params + batch_stats only)")
 
-    state, tx = create_distill_state(student, t_state.params, first,
+    state, tx = create_distill_state(student, teacher_vars["params"], first,
                                      seed=args.seed,
                                      learning_rate=args.lr)
     step = make_distill_step(student, teacher, tx, mesh=mesh)

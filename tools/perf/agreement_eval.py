@@ -17,6 +17,14 @@ Usage:
 Detections are the ``--out`` payload of tools/test.py (image_id /
 keypoints J*3 with per-joint score in the v slot / score).  Runs purely
 on the host — no JAX, no device.
+
+Interpretation note: pseudo-GT areas are the visible-keypoint bounding
+extent, systematically SMALLER than the bbox/segmentation areas the
+standard OKS protocol uses, so the absolute "agreement AP" here is
+stricter than and not comparable to standard COCO AP.  Read the student
+number only RELATIVE to the printed teacher self-consistency baseline
+(which must be ~100 by construction — if it is not, the harness itself
+is broken and the run is invalid).
 """
 import argparse
 import json
@@ -101,6 +109,11 @@ def main():
     n_img = len({a["image_id"] for a in pseudo["annotations"]})
     print(f"pseudo-GT: {len(pseudo['annotations'])} teacher poses on "
           f"{n_img} images (score>={args.gt_score_thr})")
+    if not pseudo["annotations"]:
+        raise SystemExit(
+            "no pseudo-GT annotations: the teacher detection file is "
+            f"empty or its image_ids do not overlap {args.val_json} "
+            "(check the teacher eval stage's output)")
     gt = COCO(dataset=pseudo)
     num_k = len(np.asarray(
         pseudo["annotations"][0]["keypoints"]).reshape(-1, 3))
@@ -122,6 +135,12 @@ def main():
     if t is not None and s is not None:
         print(f"agreement Mean-AP delta (teacher-self-consistency {t:.4f} "
               f"- student {s:.4f}) = {t - s:.4f}")
+    # sanity gate: scoring the teacher against its own detections must be
+    # ~perfect by construction; anything else means the harness is broken
+    if t is not None and t < 95.0:
+        print(f"WARNING: teacher self-consistency {t:.2f} < 95 — the "
+              "agreement harness disagrees with its own pseudo-GT; "
+              "treat this run as INVALID")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1)

@@ -1,10 +1,11 @@
 #!/bin/bash
 # Waits for the TPU (axon tunnel) to come back, then completes the
-# round-4 windowed-encoder measurement chain unattended:
+# windowed-encoder measurement chain unattended:
 #   teacher eval -> distill -> student eval -> agreement -> windowed bench
 # Results land in work_dirs/ + /tmp/apdelta_watchdog.log; BASELINE.md is
 # updated by hand from them.
 set -x
+set -o pipefail
 cd "$(dirname "$0")/../.." || exit 1
 GEN=data/synthetic_posetrack
 
@@ -23,13 +24,19 @@ for i in $(seq 1 60); do
     sleep 60
 done
 
-DISTILL_STEPS=${DISTILL_STEPS:-600} bash tools/perf/apdelta_resume.sh
+DISTILL_STEPS=${DISTILL_STEPS:-600} bash tools/perf/apdelta_resume.sh || exit 1
+
+# guard: both detection files must exist before the agreement stage
+for f in work_dirs/synth_teacher/val_results.json \
+         work_dirs/synth_distill/val_results.json; do
+    [ -s "$f" ] || { echo "missing detections: $f"; exit 1; }
+done
 
 python tools/perf/agreement_eval.py $GEN/val.json \
-    work_dirs/synth_teacher/val_results.pkl \
-    work_dirs/synth_distill/val_results.pkl \
+    work_dirs/synth_teacher/val_results.json \
+    work_dirs/synth_distill/val_results.json \
     --out work_dirs/synth_distill/agreement.json \
-    2>&1 | tee work_dirs/synth_distill/agreement.txt
+    2>&1 | tee work_dirs/synth_distill/agreement.txt || exit 1
 
 python bench.py --encoder-mode windowed --iters 10 --latency-samples 5 \
-    --no-b2 2>&1 | tee work_dirs/bench_windowed_r4.txt
+    --no-b2 2>&1 | tee work_dirs/bench_windowed.txt

@@ -37,6 +37,11 @@ def parse_args():
                    help="cap total steps (smoke runs)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic data (no dataset required)")
+    p.add_argument("--prebaked", default=None,
+                   help="directory of batches baked by tools/bake_batches.py"
+                        " — replaces the live dataset+pipeline loader "
+                        "(1-vCPU hosts: host augs otherwise throttle the "
+                        "chip)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 2-4 here")
     p.add_argument("--no-validate", action="store_true",
@@ -109,6 +114,14 @@ def main():
                                     seed=args.seed + epoch)
         head_cfg = cfg.model.get("bbox_head", {})
         max_gt, num_k = 10, head_cfg.get("num_keypoints", 15)
+    elif args.prebaked:
+        from pavenet_tpu.datasets.loader import PrebakedLoader
+        loader = PrebakedLoader(args.prebaked, seed=args.seed)
+        steps_per_epoch = len(loader)
+        logger.info(f"prebaked batches: {steps_per_epoch}/epoch x "
+                    f"{len(loader.variants)} variants from {args.prebaked}")
+        def epoch_loader(epoch):
+            return loader
     else:
         from pavenet_tpu.registry import DATASETS
         from pavenet_tpu.datasets.loader import ClipLoader
@@ -160,12 +173,22 @@ def main():
     # "Round 4: training backward anatomy"); set prng_impl='threefry2x32'
     # in the config for a backend-portable bit stream
     prng_impl = cfg.get("prng_impl", "rbg")
+    # paramwise_cfg lr multipliers + freezing semantics from the config
+    # (reference ``opera/apis/train.py`` optimizer build); from-scratch
+    # recipes override backbone lr_mult to 1.0 and frozen_stages to -1
+    custom = (opt_cfg.get("paramwise_cfg", {}) or {}).get("custom_keys", {})
     state, tx = create_train_state(
         model, first, seed=args.seed, ema_decay=ema_decay,
         prng_impl=prng_impl,
         tx_kwargs=dict(learning_rate=schedule,
                        weight_decay=opt_cfg.get("weight_decay", 1e-4),
                        grad_clip=clip, accumulate_steps=accum,
+                       backbone_lr_mult=custom.get(
+                           "backbone", {}).get("lr_mult", 0.1),
+                       offsets_lr_mult=custom.get(
+                           "sampling_offsets", {}).get("lr_mult", 0.1),
+                       frozen_stages=getattr(model, "frozen_stages", 1),
+                       trainable_bn=not getattr(model, "norm_eval", True),
                        freeze_backbone_neck=getattr(
                            model, "freeze_backbone_neck", False)))
     train_step = make_train_step(model, tx, mesh=mesh, ema_decay=ema_decay,
