@@ -33,6 +33,11 @@ def main():
                         help="host-timed single dispatches for p50/p90")
     parser.add_argument("--b2", action=argparse.BooleanOptionalAction,
                         default=True, help="also measure a batch=2 row")
+    parser.add_argument("--train", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="also measure the steady-state training step "
+                             "(fwd+bwd+optimizer, accumulate=1)")
+    parser.add_argument("--train-iters", type=int, default=5)
     parser.add_argument("--encoder-mode", default="deformable",
                         choices=["deformable", "windowed"],
                         help="'windowed' = opt-in TPU-mode dense "
@@ -128,6 +133,39 @@ def main():
         float(np.asarray(loop(variables, batch2)))
         b2_clips_per_sec = 2 * args.iters / (time.time() - t0)
 
+    # steady-state training step (driver-visible: the 0.94 -> 0.59 s/step
+    # round-4 win previously lived only in PERF_NOTES).  Full production
+    # step — fwd + bwd + clip + AdamW, accumulate=1, rbg dropout keys —
+    # in-jit scan like the inference loop, same bucket/batch/dtype.
+    train_step_ms = None
+    if args.train:
+        from pavenet_tpu.apis.train import (create_train_state,
+                                            make_train_step)
+        tbatch = dummy_clip_batch(rng, batch_size=args.batch,
+                                  height=args.height, width=args.width,
+                                  train=True)
+        tbatch = jax.device_put(tbatch)
+        jax.block_until_ready(tbatch)
+        state, tx = create_train_state(
+            model, tbatch, seed=0, prng_impl="rbg",
+            tx_kwargs=dict(learning_rate=1e-4, accumulate_steps=1))
+        step = make_train_step(model, tx, donate=False, prng_impl="rbg")
+
+        def train_loop(s, b):
+            def body(s, _):
+                s2, losses = step(s, b)
+                return s2, losses["loss"]
+            _, ls = jax.lax.scan(body, s, None, length=args.train_iters)
+            return ls[-1]
+
+        tloop = jax.jit(train_loop)
+        t0 = time.time()
+        float(np.asarray(tloop(state, tbatch)))  # compile + first run
+        train_compile_s = time.time() - t0
+        t0 = time.time()
+        float(np.asarray(tloop(state, tbatch)))
+        train_step_ms = (time.time() - t0) / args.train_iters * 1e3
+
     print(f"# init {init_s:.1f}s, single-call compile {compile_s:.1f}s, "
           f"loop compile {loop_compile_s:.1f}s, "
           f"device time/clip {per_iter*1e3:.2f}ms over {args.iters} "
@@ -136,7 +174,10 @@ def main():
           f"{p50_clip:.1f}ms / p90 {p90_clip:.1f}ms per clip "
           f"(incl. tunnel), T={T}"
           + (f"; B=2 {b2_clips_per_sec:.3f} clips/s"
-             if b2_clips_per_sec else ""), flush=True)
+             if b2_clips_per_sec else "")
+          + (f"; train {train_step_ms:.0f} ms/step "
+             f"(compile {train_compile_s:.1f}s)"
+             if train_step_ms is not None else ""), flush=True)
     baseline = 0.0169  # reference torch on host CPU (BASELINE.json)
     try:
         here = os.path.dirname(os.path.abspath(__file__))
@@ -159,6 +200,9 @@ def main():
     }
     if b2_clips_per_sec is not None:
         extra["b2_clips_per_sec"] = round(b2_clips_per_sec, 3)
+    if train_step_ms is not None:
+        # full train step: fwd+bwd+clip+AdamW, accumulate=1, same bucket
+        extra["train_step_ms"] = round(train_step_ms, 1)
     # cold vs warm init: with the persistent compilation cache the second
     # process's compiles are cache hits (seconds instead of minutes)
     extra["compile_s"] = round(compile_s, 1)

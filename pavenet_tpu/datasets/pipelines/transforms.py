@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 import random
+from collections import OrderedDict
 from typing import Sequence, Tuple
 
 import numpy as np
@@ -45,20 +46,41 @@ class Compose:
 
 
 class LoadClip:
-    """Read the clip's frames (RGB float32)."""
+    """Read the clip's frames (RGB float32).
 
-    def __init__(self, to_rgb: bool = True):
+    ``cache_size`` > 0 keeps the last N decoded frames (uint8 RGB) in an
+    LRU cache keyed by path: the sliding-window test protocol loads every
+    frame in up to T consecutive clips, so sequential eval re-decodes
+    each JPEG T times without it (~3x the decode+cvtColor cost — the
+    dominant host stage, PERF_NOTES "host anatomy").  Off by default:
+    train shuffling has no reuse locality.
+    """
+
+    def __init__(self, to_rgb: bool = True, cache_size: int = 0):
         self.to_rgb = to_rgb
+        self.cache_size = cache_size
+        self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+
+    def _decode(self, path):
+        if self.cache_size:
+            cached = self._cache.get(path)
+            if cached is not None:
+                self._cache.move_to_end(path)
+                return cached
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        if self.to_rgb:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if self.cache_size:
+            self._cache[path] = img
+            while len(self._cache) > self.cache_size:
+                self._cache.popitem(last=False)
+        return img
 
     def __call__(self, results):
-        imgs = []
-        for path in results["frame_files"]:
-            img = cv2.imread(path, cv2.IMREAD_COLOR)
-            if img is None:
-                raise FileNotFoundError(path)
-            if self.to_rgb:
-                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            imgs.append(img.astype(np.float32))
+        imgs = [self._decode(p).astype(np.float32)
+                for p in results["frame_files"]]
         results["imgs"] = imgs
         results["img_shape"] = imgs[0].shape[:2]
         results["ori_shape"] = imgs[0].shape[:2]
@@ -262,10 +284,11 @@ class Resize:
         sf = min(max(long_cap, short_cap) / max(h, w),
                  min(long_cap, short_cap) / min(h, w))
         new_w, new_h = int(w * sf + 0.5), int(h * sf + 0.5)
-        results["imgs"] = [
-            cv2.resize(img, (new_w, new_h),
-                       interpolation=cv2.INTER_LINEAR)
-            for img in results["imgs"]]
+        if (new_w, new_h) != (w, h):      # skip the no-op copy (native-
+            results["imgs"] = [           # resolution eval sets)
+                cv2.resize(img, (new_w, new_h),
+                           interpolation=cv2.INTER_LINEAR)
+                for img in results["imgs"]]
         w_scale = new_w / w
         h_scale = new_h / h
         results["img_shape"] = (new_h, new_w)
@@ -423,9 +446,12 @@ def build_train_pipeline(img_norm_mean=(123.675, 116.28, 103.53),
 def build_test_pipeline(img_scale=(1333, 800),
                         img_norm_mean=(123.675, 116.28, 103.53),
                         img_norm_std=(58.395, 57.12, 57.375),
-                        buckets=DEFAULT_BUCKETS) -> Compose:
+                        buckets=DEFAULT_BUCKETS,
+                        loadclip_cache=16) -> Compose:
+    # decode cache on by default: the sliding-window protocol revisits
+    # every frame in up to T consecutive clips (see LoadClip)
     return Compose([
-        LoadClip(),
+        LoadClip(cache_size=loadclip_cache),
         Resize([img_scale], multiscale_mode="value"),
         Normalize(img_norm_mean, img_norm_std),
         PadToBucket(buckets),

@@ -45,7 +45,14 @@ NEG = -1e9
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, keep_ref, o_ref, *, num_heads, wh, ww):
-    """One grid step = one (batch, window-row): (1, wh, Wp, C) blocks."""
+    """One grid step = one (batch, window-row): (1, wh, Wp, C) blocks.
+
+    ``keep_ref`` arrives pre-windowed as ``(1, 1, nWw, S)`` (see
+    ``_window_keep``): a raster-layout ``(wh, ww) -> (1, S)`` reshape is a
+    cross-lane relayout Mosaic cannot lower (``infer-vector-layout:
+    unsupported shape cast``), so the windowing happens in XLA outside the
+    kernel and each window's mask is a plain ``(1, S)`` lane-row slice here.
+    """
     Wp, C = q_ref.shape[2], q_ref.shape[3]
     nww = Wp // ww
     S = wh * ww
@@ -56,7 +63,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, keep_ref, o_ref, *, num_heads, wh, ww):
         qw = q_ref[0, :, sl, :].reshape(S, C)
         kw = k_ref[0, :, sl, :].reshape(S, C)
         vw = v_ref[0, :, sl, :].reshape(S, C)
-        keep = keep_ref[0, :, sl].reshape(1, S) > 0.5
+        keep = keep_ref[0, 0, j:j + 1, :] > 0.5          # (1, S), no reshape
         heads = []
         for h in range(num_heads):
             hs = slice(h * D, (h + 1) * D)
@@ -88,7 +95,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, keep_ref, g_ref,
         kw = k_ref[0, :, sl, :].reshape(S, C)
         vw = v_ref[0, :, sl, :].reshape(S, C)
         gw = g_ref[0, :, sl, :].reshape(S, C)
-        keep = keep_ref[0, :, sl].reshape(1, S) > 0.5
+        keep = keep_ref[0, 0, j:j + 1, :] > 0.5          # (1, S), no reshape
         dqs, dks, dvs = [], [], []
         for h in range(num_heads):
             hs = slice(h * D, (h + 1) * D)
@@ -123,13 +130,28 @@ def _bwd_kernel(q_ref, k_ref, v_ref, keep_ref, g_ref,
             ref[0, :, sl, :] = full.astype(ref.dtype).reshape(wh, ww, C)
 
 
-def _row_specs(B, Hp, Wp, C, *, wh, with_channels=True):
+def _row_specs(B, Hp, Wp, C, *, wh):
     """BlockSpec for one (batch, window-row) of a raster."""
-    if with_channels:
-        return pl.BlockSpec((1, wh, Wp, C), lambda b, i: (b, i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.BlockSpec((1, wh, Wp), lambda b, i: (b, i, 0),
+    return pl.BlockSpec((1, wh, Wp, C), lambda b, i: (b, i, 0, 0),
                         memory_space=pltpu.VMEM)
+
+
+def _keep_spec(nww, S):
+    """BlockSpec for one window-row of the pre-windowed keep mask."""
+    return pl.BlockSpec((1, 1, nww, S), lambda b, i: (b, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _window_keep(keep, wh, ww):
+    """(B, Hp, Wp) 0/1 raster -> (B, nWh, nWw, S) windowed layout.
+
+    Done in XLA (cheap fused copies on a tiny tensor) so the kernel never
+    has to reshape across the lane dimension.
+    """
+    B, Hp, Wp = keep.shape
+    k = keep.astype(jnp.float32).reshape(B, Hp // wh, wh, Wp // ww, ww)
+    return k.transpose(0, 1, 3, 2, 4).reshape(
+        B, Hp // wh, Wp // ww, wh * ww)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -156,11 +178,11 @@ def _fwd(q, k, v, keep, num_heads, wh, ww, interpret):
         kern,
         grid=(B, Hp // wh),
         in_specs=[_row_specs(B, Hp, Wp, C, wh=wh)] * 3
-        + [_row_specs(B, Hp, Wp, C, wh=wh, with_channels=False)],
+        + [_keep_spec(Wp // ww, wh * ww)],
         out_specs=_row_specs(B, Hp, Wp, C, wh=wh),
         out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), q.dtype),
         interpret=interpret,
-    )(q, k, v, keep.astype(jnp.float32))
+    )(q, k, v, _window_keep(keep, wh, ww))
 
 
 def _fwd_vjp(q, k, v, keep, num_heads, wh, ww, interpret):
@@ -177,14 +199,13 @@ def _bwd_vjp(num_heads, wh, ww, interpret, res, g):
     dq, dk, dv = pl.pallas_call(
         kern,
         grid=(B, Hp // wh),
-        in_specs=[spec] * 3
-        + [_row_specs(B, Hp, Wp, C, wh=wh, with_channels=False), spec],
+        in_specs=[spec] * 3 + [_keep_spec(Wp // ww, wh * ww), spec],
         out_specs=(spec, spec, spec),
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, Hp, Wp, C), x.dtype)
             for x in (q, k, v)),
         interpret=interpret,
-    )(q, k, v, keep.astype(jnp.float32), g)
+    )(q, k, v, _window_keep(keep, wh, ww), g)
     return dq, dk, dv, jnp.zeros_like(keep)
 
 

@@ -189,3 +189,40 @@ def test_eval_metric_crowdpose_protocol(tmp_path):
     for key in ("keypoints_AP(E): 1.0000", "keypoints_AP(M): 1.0000",
                 "keypoints_AP(H): 1.0000", "keypoints_AP: 1.0000"):
         assert key in out, out[-2000:]
+
+
+def test_show_results_headless_falls_back(tmp_path, caplog):
+    """--show in a headless environment must warn and not crash, still
+    writing --show-dir renders (reference tools/test.py:62 --show)."""
+    import importlib.util
+    import logging
+    import cv2
+
+    spec = importlib.util.spec_from_file_location(
+        "pavenet_test_cli", os.path.join(REPO, "tools", "test.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"),
+                np.zeros((32, 48, 3), np.uint8))
+
+    class FakeDS:
+        img_prefix = str(tmp_path)
+        data_infos = [dict(id=1, file_name="imgs/a.jpg")]
+
+    dets = [dict(image_id=1, category_id=1, score=0.9,
+                 keypoints=np.tile([10.0, 10.0, 0.9], 15).tolist())]
+    show_dir = str(tmp_path / "out")
+    logger = logging.getLogger("show_test")
+    env_backup = os.environ.pop("DISPLAY", None)
+    try:
+        with caplog.at_level(logging.WARNING, logger="show_test"):
+            mod.show_results(FakeDS(), dets, show_dir, 0.3, logger,
+                             show=True)
+    finally:
+        if env_backup is not None:
+            os.environ["DISPLAY"] = env_backup
+    assert any("headless" in r.message for r in caplog.records)
+    assert os.listdir(show_dir)

@@ -85,6 +85,44 @@ def test_loader_batches(synth_posetrack):
     assert b["img_shape"].tolist() == [[128, 171], [128, 171]]
 
 
+def test_loadclip_cache_equivalence(synth_posetrack):
+    """LoadClip decode cache must be output-identical and actually hit
+    (sliding-window eval decodes each frame up to T times without it)."""
+    ann_file, root = synth_posetrack
+    from pavenet_tpu.datasets.pipelines.transforms import LoadClip
+
+    def sample(loader_stage):
+        ds = PosetrackVideoPoseDataset(
+            ann_file, img_prefix=root, num_frames=3,
+            pipeline=loader_stage)
+        return [ds[i]["imgs"] for i in range(len(ds))]
+
+    plain = sample(LoadClip())
+    cached_stage = LoadClip(cache_size=16)
+    cached = sample(cached_stage)
+    for a, b in zip(plain, cached):
+        for fa, fb in zip(a, b):
+            np.testing.assert_array_equal(fa, fb)
+            assert fa.dtype == np.float32 == fb.dtype
+    # 2 clips x 3 frames = 6 loads over 4 distinct files -> cache holds 4
+    assert len(cached_stage._cache) == 4
+    # eviction respects the bound
+    small = LoadClip(cache_size=2)
+    sample(small)
+    assert len(small._cache) == 2
+
+
+def test_resize_noop_skips_copy():
+    """Native-resolution eval must not pay a full-image cv2.resize."""
+    from pavenet_tpu.datasets.pipelines.transforms import Resize
+    img = np.random.RandomState(0).rand(64, 96, 3).astype(np.float32)
+    r = Resize([(96, 64)], multiscale_mode="value")
+    out = r({"imgs": [img], "scale_factor": np.ones(2, np.float32)})
+    assert out["imgs"][0] is img               # no copy
+    assert out["img_shape"] == (64, 96)
+    np.testing.assert_array_equal(out["scale_factor"], [1.0, 1.0])
+
+
 def test_boundary_clamping(synth_posetrack):
     ann_file, root = synth_posetrack
     ds = PosetrackVideoPoseDataset(ann_file, img_prefix=root, num_frames=5)

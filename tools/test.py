@@ -41,11 +41,18 @@ def parse_args():
     p.add_argument("--format-only", action="store_true",
                    help="dump --out without evaluating (reference "
                         "tools/test.py:58)")
+    p.add_argument("--show", action="store_true",
+                   help="display rendered detections in a window "
+                        "(reference tools/test.py:62 --show; needs a "
+                        "display — headless environments should use "
+                        "--show-dir)")
     p.add_argument("--show-dir", default=None,
                    help="render detections onto the source images here "
                         "(reference tools/test.py:51-56 --show-dir)")
     p.add_argument("--show-score-thr", type=float, default=0.3,
-                   help="score threshold for --show-dir rendering")
+                   help="score threshold for --show/--show-dir rendering")
+    p.add_argument("--show-wait", type=int, default=0,
+                   help="--show per-image wait in ms (0 = until keypress)")
     p.add_argument("--compile-cache", default=None,
                    help="persistent XLA compilation cache dir "
                         "('off' disables; default ~/.cache/pavenet_tpu)")
@@ -53,10 +60,16 @@ def parse_args():
     return p.parse_args()
 
 
-def show_results(dataset, detections, show_dir, score_thr, logger):
-    """Render per-image detections (``--show-dir``)."""
+def show_results(dataset, detections, show_dir, score_thr, logger,
+                 show=False, wait=0):
+    """Render per-image detections (``--show-dir`` / on-screen ``--show``)."""
     from pavenet_tpu.utils.visualize import render_detections
-    os.makedirs(show_dir, exist_ok=True)
+    if show_dir:
+        os.makedirs(show_dir, exist_ok=True)
+    if show and not os.environ.get("DISPLAY"):
+        logger.warning("--show: no DISPLAY available (headless) — "
+                       "skipping the on-screen window; use --show-dir")
+        show = False
     by_img = {}
     for d in detections:
         by_img.setdefault(d["image_id"], []).append(d)
@@ -68,15 +81,28 @@ def show_results(dataset, detections, show_dir, score_thr, logger):
         if info is None:
             continue
         src = os.path.join(dataset.img_prefix, info["file_name"])
-        out_file = os.path.join(
-            show_dir, os.path.basename(info["file_name"]))
+        out_file = (os.path.join(show_dir,
+                                 os.path.basename(info["file_name"]))
+                    if show_dir else None)
         try:
-            render_detections(src, dets, score_thr=score_thr,
-                              out_file=out_file, class_names=class_names)
+            rendered = render_detections(
+                src, dets, score_thr=score_thr, out_file=out_file,
+                class_names=class_names)
             n += 1
         except FileNotFoundError:
-            logger.warning(f"--show-dir: missing source image {src}")
-    logger.info(f"rendered {n} images to {show_dir}")
+            logger.warning(f"show: missing source image {src}")
+            continue
+        if show:
+            import cv2
+            cv2.imshow("pavenet", rendered)
+            if cv2.waitKey(wait) & 0xFF in (27, ord("q")):
+                show = False
+                cv2.destroyAllWindows()
+    if show:
+        import cv2
+        cv2.destroyAllWindows()
+    if show_dir:
+        logger.info(f"rendered {n} images to {show_dir}")
 
 
 def main():
@@ -181,9 +207,10 @@ def main():
         with open(args.out, "w") as f:
             json.dump(dump, f)
         logger.info(f"wrote {len(detections)} detections to {args.out}")
-    if args.show_dir:
+    if args.show_dir or args.show:
         show_results(dataset, detections, args.show_dir,
-                     args.show_score_thr, logger)
+                     args.show_score_thr, logger,
+                     show=args.show, wait=args.show_wait)
     if args.format_only:
         return
     results = evaluate_dataset(dataset, detections)
