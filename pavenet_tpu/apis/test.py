@@ -17,6 +17,41 @@ import numpy as np
 import jax
 
 
+IMG_NORM_MEAN = (123.675, 116.28, 103.53)
+IMG_NORM_STD = (58.395, 57.12, 57.375)
+
+
+def _make_prep(img_norm):
+    """In-jit preprocessing for uint8 batches (the on-device-normalize
+    test pipeline, ``build_test_pipeline(normalize_on_device=True)``):
+    (x - mean) / std in f32 on the device, then re-zero the bucket
+    padding so the result is exactly what the host Normalize->Pad chain
+    produces (pad-after-normalize = zeros).  float batches pass through
+    untouched.  Sending uint8 over the wire cuts the host->device image
+    payload 4x — on a tunneled chip that transfer dominates the eval
+    loop (PERF_NOTES "host anatomy")."""
+    import jax.numpy as jnp
+    mean, std = img_norm
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+
+    def prep(feed):
+        img = feed["img"]
+        if img.dtype != jnp.uint8:
+            return feed
+        x = (img.astype(jnp.float32) - mean) / std
+        B, T, H, W, _ = x.shape
+        shp = feed["img_shape"]
+        hs = shp[:, 0].reshape(B, 1, 1, 1, 1)
+        ws = shp[:, 1].reshape(B, 1, 1, 1, 1)
+        ih = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, 1, 1), 2)
+        iw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W, 1), 3)
+        x = jnp.where((ih < hs) & (iw < ws), x, 0.0)
+        return dict(feed, img=x)
+
+    return prep
+
+
 def _rescale_batch(batch, ratio: float) -> dict:
     """Host-side scale augmentation for multi-scale TTA: resize each
     sample's valid region by ``ratio`` and re-pad to the smallest static
@@ -50,7 +85,8 @@ def _rescale_batch(batch, ratio: float) -> dict:
 
 def run_inference(model, variables, loader, score_thr: float = 0.0,
                   logger=None, flip_test: bool = False,
-                  mesh=None, aug_scales=None) -> List[dict]:
+                  mesh=None, aug_scales=None,
+                  img_norm=(IMG_NORM_MEAN, IMG_NORM_STD)) -> List[dict]:
     """Returns COCO-style keypoint detection dicts.
 
     ``flip_test`` merges original + horizontally-flipped predictions via
@@ -69,12 +105,14 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
     if mesh is not None:
         from ..parallel.mesh import put_batch, replicate
         variables = jax.device_put(variables, replicate(mesh))
+    prep = _make_prep(img_norm)
     multi_scale = bool(aug_scales) and (
         len(aug_scales) > 1 or float(aug_scales[0]) != 1.0)
     if multi_scale:
         flips = (False, True) if flip_test else (False,)
         aug_fns = {f: jax.jit(lambda v, b, f=f: model.apply(
-            v, b, flip=f, method="forward_test_aug")) for f in flips}
+            v, prep(b), flip=f, method="forward_test_aug"))
+            for f in flips}
         merge_fn = jax.jit(lambda v, outs: model.apply(
             v, outs, method="merge_aug_detections"))
 
@@ -89,9 +127,9 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
             return merge_fn(v, outs)
     elif flip_test:
         infer = jax.jit(lambda v, b: model.apply(
-            v, b, method="forward_test_flip"))
+            v, prep(b), method="forward_test_flip"))
     else:
-        infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+        infer = jax.jit(lambda v, b: model.apply(v, prep(b), train=False))
     detections: List[dict] = []
     t_total, n_clips = 0.0, 0
     for batch in loader:

@@ -56,9 +56,11 @@ class LoadClip:
     train shuffling has no reuse locality.
     """
 
-    def __init__(self, to_rgb: bool = True, cache_size: int = 0):
+    def __init__(self, to_rgb: bool = True, cache_size: int = 0,
+                 dtype=np.float32):
         self.to_rgb = to_rgb
         self.cache_size = cache_size
+        self.dtype = np.dtype(dtype)
         self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
 
     def _decode(self, path):
@@ -79,7 +81,8 @@ class LoadClip:
         return img
 
     def __call__(self, results):
-        imgs = [self._decode(p).astype(np.float32)
+        imgs = [self._decode(p) if self.dtype == np.uint8
+                else self._decode(p).astype(self.dtype)
                 for p in results["frame_files"]]
         results["imgs"] = imgs
         results["img_shape"] = imgs[0].shape[:2]
@@ -397,12 +400,19 @@ class PadToBucket:
 
 
 class FormatBatch:
-    """Stack frames -> final per-sample arrays in the model's layout."""
+    """Stack frames -> final per-sample arrays in the model's layout.
+
+    ``keep_dtype``: leave the image dtype as produced by the chain
+    (uint8 for the on-device-normalize test path) instead of casting to
+    float32."""
+
+    def __init__(self, keep_dtype: bool = False):
+        self.keep_dtype = keep_dtype
 
     def __call__(self, results):
         imgs = np.stack(results["imgs"], 0)  # (T, H, W, 3)
         out = dict(
-            img=imgs.astype(np.float32),
+            img=imgs if self.keep_dtype else imgs.astype(np.float32),
             img_shape=np.asarray(results["img_shape"], np.int32),
             scale_factor=np.asarray(results["scale_factor"], np.float32),
             image_id=results.get("image_id", -1),
@@ -447,9 +457,23 @@ def build_test_pipeline(img_scale=(1333, 800),
                         img_norm_mean=(123.675, 116.28, 103.53),
                         img_norm_std=(58.395, 57.12, 57.375),
                         buckets=DEFAULT_BUCKETS,
-                        loadclip_cache=16) -> Compose:
+                        loadclip_cache=16,
+                        normalize_on_device=False) -> Compose:
     # decode cache on by default: the sliding-window protocol revisits
     # every frame in up to T consecutive clips (see LoadClip)
+    if normalize_on_device:
+        # uint8 end to end on the host; (x - mean)/std + padding re-zero
+        # happen inside the inference jit (apis/test.py ``run_inference``).
+        # 4x less host->device payload — the eval CLI's dominant cost on
+        # a tunneled chip (PERF_NOTES "host anatomy") — and the float
+        # normalize pass leaves the 1-vCPU host entirely.  cv2 resizes
+        # uint8 natively, so the image stays uint8 through the chain.
+        return Compose([
+            LoadClip(cache_size=loadclip_cache, dtype=np.uint8),
+            Resize([img_scale], multiscale_mode="value"),
+            PadToBucket(buckets),
+            FormatBatch(keep_dtype=True),
+        ])
     return Compose([
         LoadClip(cache_size=loadclip_cache),
         Resize([img_scale], multiscale_mode="value"),

@@ -123,6 +123,45 @@ def test_resize_noop_skips_copy():
     np.testing.assert_array_equal(out["scale_factor"], [1.0, 1.0])
 
 
+def test_normalize_on_device_matches_host(synth_posetrack):
+    """build_test_pipeline(normalize_on_device=True) + the in-jit prep of
+    run_inference must reproduce the host Normalize->Pad chain: identical
+    normalized values and exact zeros in the bucket padding.  At native
+    scale (no-op resize) the match is exact; through a real resize the
+    uint8 path quantizes interpolated pixels to 1/255 (<= 0.5/58 in
+    normalized units)."""
+    import jax
+    from pavenet_tpu.apis.test import _make_prep, IMG_NORM_MEAN, IMG_NORM_STD
+
+    ann_file, root = synth_posetrack
+    prep = jax.jit(_make_prep((IMG_NORM_MEAN, IMG_NORM_STD)))
+
+    for scale, atol in (((160, 120), 1e-6), ((192, 128), 0.02)):
+        host_ds = PosetrackVideoPoseDataset(
+            ann_file, img_prefix=root, num_frames=3,
+            pipeline=build_test_pipeline(img_scale=scale,
+                                         buckets=((192, 256),)))
+        dev_ds = PosetrackVideoPoseDataset(
+            ann_file, img_prefix=root, num_frames=3,
+            pipeline=build_test_pipeline(img_scale=scale,
+                                         buckets=((192, 256),),
+                                         normalize_on_device=True))
+        hb = next(iter(ClipLoader(host_ds, batch_size=2, shuffle=False,
+                                  prefetch=0, drop_last=False)))
+        db = next(iter(ClipLoader(dev_ds, batch_size=2, shuffle=False,
+                                  prefetch=0, drop_last=False)))
+        assert db["img"].dtype == np.uint8
+        got = np.asarray(prep(
+            {"img": db["img"], "img_shape": db["img_shape"]})["img"])
+        np.testing.assert_allclose(got, hb["img"], atol=atol)
+        # padding region must be exactly zero
+        h, w = hb["img_shape"][0]
+        assert np.all(got[0, :, h:, :] == 0) and np.all(got[0, :, :, w:] == 0)
+    # float batches pass through prep untouched
+    out = prep({"img": hb["img"], "img_shape": hb["img_shape"]})
+    np.testing.assert_array_equal(np.asarray(out["img"]), hb["img"])
+
+
 def test_boundary_clamping(synth_posetrack):
     ann_file, root = synth_posetrack
     ds = PosetrackVideoPoseDataset(ann_file, img_prefix=root, num_frames=5)

@@ -3,11 +3,11 @@
 # windowed-encoder measurement chain unattended:
 #   teacher eval -> distill -> student eval -> agreement -> windowed bench
 # Results land in work_dirs/ + /tmp/apdelta_watchdog.log; BASELINE.md is
-# updated by hand from them.
+# updated by hand from them.  Round 5: small-resolution synthetic recipe.
 set -x
 set -o pipefail
 cd "$(dirname "$0")/../.." || exit 1
-GEN=data/synthetic_posetrack
+GEN=data/synth_sm
 
 probe() {
     timeout 120 python -c "
@@ -27,16 +27,16 @@ done
 DISTILL_STEPS=${DISTILL_STEPS:-600} bash tools/perf/apdelta_resume.sh || exit 1
 
 # guard: both detection files must exist before the agreement stage
-for f in work_dirs/synth_teacher/val_results.json \
-         work_dirs/synth_distill/val_results.json; do
+for f in work_dirs/synth_teacher_sm/val_results.json \
+         work_dirs/synth_distill_sm/val_results.json; do
     [ -s "$f" ] || { echo "missing detections: $f"; exit 1; }
 done
 
 python tools/perf/agreement_eval.py $GEN/val.json \
-    work_dirs/synth_teacher/val_results.json \
-    work_dirs/synth_distill/val_results.json \
-    --out work_dirs/synth_distill/agreement.json \
-    2>&1 | tee work_dirs/synth_distill/agreement.txt || exit 1
+    work_dirs/synth_teacher_sm/val_results.json \
+    work_dirs/synth_distill_sm/val_results.json \
+    --out work_dirs/synth_distill_sm/agreement.json \
+    2>&1 | tee work_dirs/synth_distill_sm/agreement.txt || exit 1
 
 python bench.py --encoder-mode windowed --iters 10 --latency-samples 5 \
     --no-b2 2>&1 | tee work_dirs/bench_windowed.txt

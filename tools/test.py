@@ -118,10 +118,8 @@ def main():
     from pavenet_tpu.apis.test import (
         run_inference, run_det_inference, evaluate_dataset,
         gather_detections)
-    from pavenet_tpu.apis.train import create_train_state
     from pavenet_tpu.parallel.mesh import maybe_init_distributed
     from pavenet_tpu.utils.checkpoint import restore_variables
-    from pavenet_tpu.models.zoo import dummy_clip_batch
 
     import jax
     import numpy as np
@@ -141,6 +139,14 @@ def main():
     test_cfg = dict(cfg.data["test"])
     test_cfg.pop("pipeline", None)
     pipe_kwargs = dict(cfg.get("test_pipeline_kwargs", {}))
+    if not is_det:
+        # uint8 images over the wire + (x-mean)/std inside the inference
+        # jit: 4x less host->device payload (the dominant eval cost on a
+        # tunneled chip) and no host normalize pass.  Config can override
+        # with test_pipeline_kwargs normalize_on_device=False.
+        pipe_kwargs.setdefault("normalize_on_device", True)
+    img_norm = (pipe_kwargs.get("img_norm_mean", (123.675, 116.28, 103.53)),
+                pipe_kwargs.get("img_norm_std", (58.395, 57.12, 57.375)))
     dataset = DATASETS.build(
         dict(**test_cfg, pipeline=build_test_pipeline(**pipe_kwargs)))
     # single process with several local chips: shard the clip axis over a
@@ -186,20 +192,14 @@ def main():
         dump = [{k: v for k, v in d.items() if k != "segmentation"}
                 for d in detections] if args.out else None
     else:
-        # initialize a state skeleton, then restore the checkpoint into it
-        rng = np.random.RandomState(0)
-        dummy = dummy_clip_batch(
-            rng, num_frames=model.num_frames, height=256, width=448,
-            num_keypoints=model.num_keypoints,
-            max_gt=min(model.max_gt, model.num_query), train=True)
-        state, _ = create_train_state(model, dummy, seed=0)
-        variables = restore_variables(
-            os.path.abspath(args.checkpoint), state.params,
-            state.batch_stats)
+        # template-free {params, batch_stats} restore — building a train
+        # state skeleton here would cost a full extra init compile
+        variables = restore_variables(os.path.abspath(args.checkpoint))
         detections = gather_detections(
             run_inference(model, variables, loader, logger=logger,
                           flip_test=args.flip_test,
-                          aug_scales=args.aug_scales, mesh=mesh))
+                          aug_scales=args.aug_scales, mesh=mesh,
+                          img_norm=img_norm))
         dump = detections
     if jax.process_index() != 0:
         return

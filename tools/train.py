@@ -272,6 +272,13 @@ def main():
                 val_cfg.pop("pipeline", None)
                 val_cfg.pop("samples_per_gpu", None)
                 pipe_kwargs = dict(cfg.get("test_pipeline_kwargs", {}))
+                # uint8 over the wire + in-jit normalize (see tools/test.py)
+                pipe_kwargs.setdefault("normalize_on_device", True)
+                img_norm = (
+                    pipe_kwargs.get("img_norm_mean",
+                                    (123.675, 116.28, 103.53)),
+                    pipe_kwargs.get("img_norm_std",
+                                    (58.395, 57.12, 57.375)))
                 val_ds = DATASETS.build(dict(
                     **val_cfg, pipeline=build_test_pipeline(**pipe_kwargs)))
                 val_loader = ClipLoader(
@@ -282,7 +289,8 @@ def main():
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
                 dets = gather_detections(run_inference(
-                    model, variables, val_loader, logger=logger))
+                    model, variables, val_loader, logger=logger,
+                    img_norm=img_norm))
                 if jax.process_index() == 0:
                     for k, v in evaluate_dataset(val_ds, dets).items():
                         if isinstance(v, float):
