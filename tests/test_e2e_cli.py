@@ -175,6 +175,23 @@ def test_train_then_distill_cli(synth_data, tmp_path):
                if d.startswith("step_")]
     assert s_ckpts, os.listdir(distill_work)
 
+    # --prebaked branch: bake one epoch variant, distill from it
+    baked = str(tmp_path / "baked")
+    r = run_cli(["tools/bake_batches.py", cfg, "--out", baked,
+                 "--epochs", "1"] + overrides)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert [f for f in os.listdir(baked) if f.endswith(".npz")]
+    distill_work2 = str(tmp_path / "student_prebaked")
+    r = run_cli(["tools/distill.py",
+                 "configs/videopose/pavenet_tiny_debug_windowed.py",
+                 os.path.join(work, ckpts[-1]),
+                 "--work-dir", distill_work2, "--steps", "2",
+                 "--prebaked", baked, "--log-interval", "1"])
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-3000:])
+    assert "prebaked batches" in (r.stdout + r.stderr)
+    assert [d for d in os.listdir(distill_work2)
+            if d.startswith("step_")]
+
 
 @pytest.fixture(scope="module")
 def synth_det_data(tmp_path_factory):

@@ -42,6 +42,10 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-interval", type=int, default=20)
+    p.add_argument("--prebaked", default=None,
+                   help="directory of batches baked by tools/bake_batches.py"
+                        " (reuse the teacher's baked batches; zero host "
+                        "aug cost per step)")
     p.add_argument("--compile-cache", default=None)
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -96,19 +100,25 @@ def main():
     mesh = make_mesh()
 
     data_cfg = cfg.get("data", {})
-    batch_size = data_cfg.get("samples_per_gpu", 1) * \
-        jax.local_device_count()
-    train_cfg = dict(data_cfg["train"])
-    train_cfg.pop("pipeline", None)
-    pipe_kwargs = dict(cfg.get("train_pipeline_kwargs", {}))
-    dataset = DATASETS.build(
-        dict(**train_cfg, pipeline=build_train_pipeline(**pipe_kwargs)))
-    loader = ClipLoader(dataset, batch_size=batch_size,
-                        max_gt=cfg.get("max_gt", 30),
-                        num_keypoints=dataset.NUM_KEYPOINTS,
-                        seed=args.seed,
-                        num_shards=jax.process_count(),
-                        shard_index=jax.process_index())
+    if args.prebaked:
+        from pavenet_tpu.datasets.loader import PrebakedLoader
+        loader = PrebakedLoader(args.prebaked, seed=args.seed)
+        logger.info(f"prebaked batches: {len(loader)}/epoch x "
+                    f"{len(loader.variants)} variants from {args.prebaked}")
+    else:
+        batch_size = data_cfg.get("samples_per_gpu", 1) * \
+            jax.local_device_count()
+        train_cfg = dict(data_cfg["train"])
+        train_cfg.pop("pipeline", None)
+        pipe_kwargs = dict(cfg.get("train_pipeline_kwargs", {}))
+        dataset = DATASETS.build(
+            dict(**train_cfg, pipeline=build_train_pipeline(**pipe_kwargs)))
+        loader = ClipLoader(dataset, batch_size=batch_size,
+                            max_gt=cfg.get("max_gt", 30),
+                            num_keypoints=dataset.NUM_KEYPOINTS,
+                            seed=args.seed,
+                            num_shards=jax.process_count(),
+                            shard_index=jax.process_index())
 
     first = next(iter(loader))
     # Distillation needs only the teacher's {params, batch_stats} — restore

@@ -18,7 +18,7 @@ python tools/test.py configs/videopose/pavenet_r50_frames3_synthetic_sm.py \
 python tools/distill.py \
     configs/videopose/pavenet_r50_frames3_synthetic_sm_windowed.py \
     "$TEACHER" --work-dir work_dirs/synth_distill_sm --steps "$STEPS" \
-    || exit 1
+    --prebaked data/synth_sm/baked || exit 1
 STUDENT=$(ls -d work_dirs/synth_distill_sm/step_* 2>/dev/null | sort -V | tail -1)
 
 python tools/test.py \
