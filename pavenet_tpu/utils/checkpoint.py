@@ -52,7 +52,7 @@ def find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:
 def restore_checkpoint(path: str, target):
     """Restore into the structure of ``target`` (a TrainState or pytree)."""
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target)
+    return ckptr.restore(os.path.abspath(path), target)
 
 
 def restore_variables(path: str, params_target=None,
@@ -61,6 +61,6 @@ def restore_variables(path: str, params_target=None,
     (inference doesn't rebuild the optimizer state, so a full-structure
     restore would mismatch)."""
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path)  # raw tree, no structure target
+    restored = ckptr.restore(os.path.abspath(path))  # raw, no target
     return {"params": restored["params"],
             "batch_stats": restored.get("batch_stats", {})}

@@ -49,8 +49,19 @@ def parse_args():
     p.add_argument("--compile-cache", default=None,
                    help="persistent XLA compilation cache dir "
                         "('off' disables; default ~/.cache/pavenet_tpu)")
+    p.add_argument("--rss-limit-gb", type=float, default=96.0,
+                   help="checkpoint + exit(3) when host RSS exceeds this "
+                        "(the tunneled-TPU client leaks every transferred "
+                        "batch's host copy — ~batch bytes/step, PERF_NOTES "
+                        "round 5; relaunch with --auto-resume, or loop "
+                        "tools/perf/train_segments.sh).  0 disables")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
+
+
+def _rss_gb() -> float:
+    import psutil
+    return psutil.Process().memory_info().rss / 1e9
 
 
 def synthetic_loader(model_cfg, batch_size, steps, seed=0):
@@ -245,6 +256,21 @@ def main():
                             f"step {total}: {msg}")
             if args.max_steps and total >= args.max_steps:
                 break
+            # host-RSS guard: the axon tunnel client never frees the host
+            # copy of transferred arrays (leak == payload bytes per step,
+            # measured: 4760 steps x 24.8 MB -> 118 GB -> OOM kill).
+            # Checkpoint + exit(3) well before the OOM killer fires; a
+            # relaunch with --auto-resume restarts this epoch.
+            if (args.rss_limit_gb and total % 100 == 0
+                    and _rss_gb() > args.rss_limit_gb):
+                save_checkpoint(work_dir, state, int(state.step),
+                                meta=dict(epoch=epoch))
+                logger.warning(
+                    f"host RSS {_rss_gb():.1f} GB > {args.rss_limit_gb} "
+                    f"GB limit: checkpointed step {int(state.step)}; "
+                    "exiting 3 for relaunch with --auto-resume "
+                    "(tunnel-client transfer leak, PERF_NOTES round 5)")
+                sys.exit(3)
         # mmcv CheckpointHook(interval=N): save every N epochs + always on
         # exit (production configs use interval=1)
         ckpt_cfg = cfg.get("checkpoint_config", {}) or {}
