@@ -51,7 +51,10 @@ evaluation = dict(interval=4, metric='keypoints')
 train_pipeline_kwargs = dict(
     max_rotate_degree=10.0,
     scale_range=((448, 768), (448, 768)),
-    buckets=((448, 768),))
+    buckets=((448, 768),),
+    # uint8 train feed: augment in float, bake/send uint8, (x-mean)/std
+    # in-jit (apis/prep.py) — 1/4 the tunnel payload + RSS leak/step
+    normalize_on_device=True)
 test_pipeline_kwargs = dict(
     img_scale=(768, 448),
     buckets=((448, 768),))

@@ -104,14 +104,20 @@ def memory_distill_loss(model, params, batch_stats, batch, teacher_memory,
 
 def make_distill_step(student_model, teacher_model, tx,
                       mesh: Optional[object] = None,
-                      axis_name: str = "data"):
+                      axis_name: str = "data", img_norm=None):
     """Jitted (optionally mesh-DP-sharded) distillation step.
 
     Signature: ``step(state, teacher_variables, batch) -> (state, logs)``.
     Teacher variables ride as an argument (replicated under the mesh) so
-    they are not baked into the executable as constants.
+    they are not baked into the executable as constants.  uint8 image
+    batches (prebaked on-device-normalize feed) are normalized in-jit
+    (``apis/prep.py``); both teacher and student see the same tensor.
     """
+    from .prep import make_device_prep
+    prep = make_device_prep(img_norm) if img_norm else make_device_prep()
+
     def step_fn(state: TrainState, teacher_variables, batch):
+        batch = prep(batch)
         t_outs = teacher_model.apply(
             teacher_variables, batch["img"], batch["img_shape"],
             method=teacher_model.forward_outputs, deterministic=True)
@@ -145,9 +151,11 @@ def make_distill_step(student_model, teacher_model, tx,
 
 def create_distill_state(student_model, teacher_params, batch,
                          seed: int = 0, learning_rate=1e-4,
-                         grad_clip: float = 0.1):
+                         grad_clip: float = 0.1, img_norm=None):
     """Init the student (fresh encoder, teacher-copied everything else)
     and its encoder-only optimizer."""
+    from .prep import make_device_prep
+    prep = make_device_prep(img_norm) if img_norm else make_device_prep()
     key = jax.random.PRNGKey(seed)
     # init through the TRAIN path so loss-only parameters (RealNVP flows)
     # exist — the saved student checkpoint must stay structurally
@@ -155,7 +163,7 @@ def create_distill_state(student_model, teacher_params, batch,
     variables = jax.jit(
         lambda: student_model.init(
             {"params": key, "dropout": jax.random.fold_in(key, 1)},
-            batch, train=True))()
+            prep(batch), train=True))()
     params = student_from_teacher(variables["params"], teacher_params)
     tx = encoder_only_optimizer(params, learning_rate,
                                 grad_clip=grad_clip)

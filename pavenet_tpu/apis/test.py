@@ -17,39 +17,9 @@ import numpy as np
 import jax
 
 
-IMG_NORM_MEAN = (123.675, 116.28, 103.53)
-IMG_NORM_STD = (58.395, 57.12, 57.375)
+from .prep import IMG_NORM_MEAN, IMG_NORM_STD, make_device_prep
 
-
-def _make_prep(img_norm):
-    """In-jit preprocessing for uint8 batches (the on-device-normalize
-    test pipeline, ``build_test_pipeline(normalize_on_device=True)``):
-    (x - mean) / std in f32 on the device, then re-zero the bucket
-    padding so the result is exactly what the host Normalize->Pad chain
-    produces (pad-after-normalize = zeros).  float batches pass through
-    untouched.  Sending uint8 over the wire cuts the host->device image
-    payload 4x — on a tunneled chip that transfer dominates the eval
-    loop (PERF_NOTES "host anatomy")."""
-    import jax.numpy as jnp
-    mean, std = img_norm
-    mean = jnp.asarray(mean, jnp.float32)
-    std = jnp.asarray(std, jnp.float32)
-
-    def prep(feed):
-        img = feed["img"]
-        if img.dtype != jnp.uint8:
-            return feed
-        x = (img.astype(jnp.float32) - mean) / std
-        B, T, H, W, _ = x.shape
-        shp = feed["img_shape"]
-        hs = shp[:, 0].reshape(B, 1, 1, 1, 1)
-        ws = shp[:, 1].reshape(B, 1, 1, 1, 1)
-        ih = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H, 1, 1), 2)
-        iw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W, 1), 3)
-        x = jnp.where((ih < hs) & (iw < ws), x, 0.0)
-        return dict(feed, img=x)
-
-    return prep
+_make_prep = make_device_prep
 
 
 def _rescale_batch(batch, ratio: float) -> dict:

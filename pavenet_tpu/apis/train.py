@@ -171,7 +171,8 @@ _THREEFRY = (None, "threefry", "threefry2x32")
 def create_train_state(model, batch, seed: int = 0, tx=None,
                        tx_kwargs: Optional[Dict] = None,
                        ema_decay: float = 0.0,
-                       prng_impl: Optional[str] = None) -> TrainState:
+                       prng_impl: Optional[str] = None,
+                       img_norm=None) -> TrainState:
     """Initialize params (jitted — eager init is pathologically slow over
     remote device tunnels) and the optimizer state.
 
@@ -183,7 +184,13 @@ def create_train_state(model, batch, seed: int = 0, tx=None,
     backend/compiler-version specific, unlike threefry.  ``state.rng``
     stores the raw key data (plain uint32 array) so checkpoints never
     carry typed-key leaves; pass the same ``prng_impl`` to
-    ``make_train_step``."""
+    ``make_train_step``.
+
+    ``img_norm``: ``(mean, std)`` for uint8 image batches (the
+    on-device-normalize train feed, ``apis/prep.py``) — normalization
+    happens inside the init jit; float batches pass through untouched."""
+    from .prep import make_device_prep
+    prep = make_device_prep(img_norm) if img_norm else make_device_prep()
     if prng_impl in _THREEFRY:
         key = jax.random.PRNGKey(seed)
         pkey, dkey, rkey = jax.random.split(key, 3)
@@ -193,7 +200,7 @@ def create_train_state(model, batch, seed: int = 0, tx=None,
         rkey = jax.random.key_data(rk)
 
     variables = jax.jit(
-        lambda: model.init({"params": pkey, "dropout": dkey}, batch,
+        lambda: model.init({"params": pkey, "dropout": dkey}, prep(batch),
                            train=True))()
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -209,7 +216,7 @@ def create_train_state(model, batch, seed: int = 0, tx=None,
 
 def make_train_step(model, tx, mesh=None, axis_name: str = "data",
                     donate: bool = True, ema_decay: float = 0.0,
-                    prng_impl: Optional[str] = None):
+                    prng_impl: Optional[str] = None, img_norm=None):
     """Build the jitted (optionally mesh-sharded) train step.
 
     Batch axis sharded over the mesh; state replicated.  Matching, losses
@@ -222,8 +229,13 @@ def make_train_step(model, tx, mesh=None, axis_name: str = "data",
     production config) leave them untouched.
     """
     trainable_bn = not getattr(model, "norm_eval", True)
+    from .prep import make_device_prep
+    prep = make_device_prep(img_norm) if img_norm else make_device_prep()
 
     def step_fn(state: TrainState, batch):
+        # uint8 feeds normalize + re-zero padding in-jit (apis/prep.py:
+        # 4x less tunnel payload and host RSS leak); float feeds untouched
+        batch = prep(batch)
         if prng_impl in _THREEFRY:
             rng, dropout_key = jax.random.split(state.rng)
         else:

@@ -404,15 +404,22 @@ class FormatBatch:
 
     ``keep_dtype``: leave the image dtype as produced by the chain
     (uint8 for the on-device-normalize test path) instead of casting to
-    float32."""
+    float32.  ``cast_uint8``: round+clip float 0-255 images to uint8
+    (the on-device-normalize TRAIN path — augmentation runs in float,
+    then the batch crosses the wire at 1/4 the bytes; quantization is
+    <=0.5/58 in normalized units, below augmentation noise)."""
 
-    def __init__(self, keep_dtype: bool = False):
+    def __init__(self, keep_dtype: bool = False, cast_uint8: bool = False):
         self.keep_dtype = keep_dtype
+        self.cast_uint8 = cast_uint8
 
     def __call__(self, results):
         imgs = np.stack(results["imgs"], 0)  # (T, H, W, 3)
+        if self.cast_uint8 and imgs.dtype != np.uint8:
+            imgs = np.clip(np.round(imgs), 0, 255).astype(np.uint8)
         out = dict(
-            img=imgs if self.keep_dtype else imgs.astype(np.float32),
+            img=imgs if (self.keep_dtype or self.cast_uint8)
+            else imgs.astype(np.float32),
             img_shape=np.asarray(results["img_shape"], np.int32),
             scale_factor=np.asarray(results["scale_factor"], np.float32),
             image_id=results.get("image_id", -1),
@@ -434,19 +441,33 @@ def build_train_pipeline(img_norm_mean=(123.675, 116.28, 103.53),
                          flip_ratio=0.5,
                          scale_range=((400, 1200), (1200, 1200)),
                          photometric=True,
-                         buckets=DEFAULT_BUCKETS) -> Compose:
+                         buckets=DEFAULT_BUCKETS,
+                         normalize_on_device=False) -> Compose:
     """Production train chain (PoseTrack config, SURVEY.md §2.1):
     load -> photometric -> shared affine -> flip -> multi-scale resize ->
     normalize -> bucket pad -> format.  (The AutoAugment crop policy branch
-    is provided by RandomCrop; wiring both policies is config-level.)"""
+    is provided by RandomCrop; wiring both policies is config-level.)
+
+    ``normalize_on_device``: augmentation still runs in float 0-255, but
+    the host Normalize pass is dropped and the final batch is quantized
+    to uint8 — (x - mean)/std + padding re-zero happen inside the train
+    jit (``apis/prep.py``).  1/4 the host->device payload; built for
+    tunneled chips and the prebaked feed (1/4 the bake disk/read)."""
     steps = [LoadClip()]
     if photometric:
         steps.append(PhotoMetricDistortion())
-    return Compose(steps + [
+    steps += [
         KeypointRandomAffine(max_rotate_degree=max_rotate_degree,
                              border_val=img_norm_mean),
         RandomFlip(flip_ratio),
         Resize(list(scale_range), multiscale_mode="range"),
+    ]
+    if normalize_on_device:
+        return Compose(steps + [
+            PadToBucket(buckets),
+            FormatBatch(cast_uint8=True),
+        ])
+    return Compose(steps + [
         Normalize(img_norm_mean, img_norm_std),
         PadToBucket(buckets),
         FormatBatch(),

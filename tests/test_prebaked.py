@@ -150,3 +150,50 @@ def test_build_optimizer_from_scratch_trains_everything():
 
 
 import jax  # noqa: E402  (used in test bodies above)
+
+
+def test_uint8_train_feed_matches_host_normalized():
+    """The uint8 on-device-normalize train feed (apis/prep.py, round 5)
+    must produce the same loss and updated params as the host
+    Normalize->Pad f32 chain on the same integer-valued images."""
+    import jax.numpy as jnp
+    import sys, os as _os
+    sys.path.insert(0, _os.path.join(
+        _os.path.dirname(__file__), ".."))
+    from tests.test_videopose_model import tiny_model, tiny_batch
+    from pavenet_tpu.apis.train import create_train_state, make_train_step
+    from pavenet_tpu.apis.prep import IMG_NORM_MEAN, IMG_NORM_STD
+
+    rng = np.random.RandomState(3)
+    batch = tiny_batch(rng, train=True)
+    B, T, H, W, _ = batch["img"].shape
+    u8 = rng.randint(0, 256, (B, T, H, W, 3)).astype(np.uint8)
+    mean = np.asarray(IMG_NORM_MEAN, np.float32)
+    std = np.asarray(IMG_NORM_STD, np.float32)
+    f32 = (u8.astype(np.float32) - mean) / std
+    for b in range(B):
+        h, w = batch["img_shape"][b]
+        f32[b, :, h:, :, :] = 0.0
+        f32[b, :, :, w:, :] = 0.0
+    batch_u8 = dict(batch, img=u8)
+    batch_f32 = dict(batch, img=f32)
+
+    model = tiny_model()
+    img_norm = (IMG_NORM_MEAN, IMG_NORM_STD)
+    state, tx = create_train_state(model, batch_u8, seed=0,
+                                   tx_kwargs=dict(accumulate_steps=1),
+                                   img_norm=img_norm)
+    step = make_train_step(model, tx, donate=False, img_norm=img_norm)
+    s_u8, losses_u8 = step(state, batch_u8)
+    s_f32, losses_f32 = step(state, batch_f32)
+    np.testing.assert_allclose(float(losses_u8["loss"]),
+                               float(losses_f32["loss"]),
+                               rtol=1e-5)
+    leaves_a = jax.tree_util.tree_leaves(s_u8.params)
+    leaves_b = jax.tree_util.tree_leaves(s_f32.params)
+    # host-numpy vs in-jit normalize can differ by one ulp; Adam's
+    # rsqrt direction amplifies that on near-zero-grad elements — allow
+    # a slightly looser per-element tolerance (loss already at 1e-5)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

@@ -130,10 +130,15 @@ def main():
     logger.info(f"teacher restored from {args.teacher_checkpoint} "
                 "(params + batch_stats only)")
 
+    tp_kwargs = dict(cfg.get("train_pipeline_kwargs", {}))
+    img_norm = (tp_kwargs.get("img_norm_mean", (123.675, 116.28, 103.53)),
+                tp_kwargs.get("img_norm_std", (58.395, 57.12, 57.375)))
     state, tx = create_distill_state(student, teacher_vars["params"], first,
                                      seed=args.seed,
-                                     learning_rate=args.lr)
-    step = make_distill_step(student, teacher, tx, mesh=mesh)
+                                     learning_rate=args.lr,
+                                     img_norm=img_norm)
+    step = make_distill_step(student, teacher, tx, mesh=mesh,
+                             img_norm=img_norm)
 
     total = 0
     t_iter = time.time()

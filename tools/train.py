@@ -188,9 +188,14 @@ def main():
     # (reference ``opera/apis/train.py`` optimizer build); from-scratch
     # recipes override backbone lr_mult to 1.0 and frozen_stages to -1
     custom = (opt_cfg.get("paramwise_cfg", {}) or {}).get("custom_keys", {})
+    # uint8 train feed (normalize_on_device pipelines / prebaked bakes):
+    # (x-mean)/std runs inside the train jit (apis/prep.py)
+    tp_kwargs = dict(cfg.get("train_pipeline_kwargs", {}))
+    img_norm = (tp_kwargs.get("img_norm_mean", (123.675, 116.28, 103.53)),
+                tp_kwargs.get("img_norm_std", (58.395, 57.12, 57.375)))
     state, tx = create_train_state(
         model, first, seed=args.seed, ema_decay=ema_decay,
-        prng_impl=prng_impl,
+        prng_impl=prng_impl, img_norm=img_norm,
         tx_kwargs=dict(learning_rate=schedule,
                        weight_decay=opt_cfg.get("weight_decay", 1e-4),
                        grad_clip=clip, accumulate_steps=accum,
@@ -203,7 +208,7 @@ def main():
                        freeze_backbone_neck=getattr(
                            model, "freeze_backbone_neck", False)))
     train_step = make_train_step(model, tx, mesh=mesh, ema_decay=ema_decay,
-                                 prng_impl=prng_impl)
+                                 prng_impl=prng_impl, img_norm=img_norm)
 
     start_epoch = 0
     resume = args.resume_from or (
