@@ -52,7 +52,11 @@ def init_detector(config: Union[str, Config],
             state = restore_checkpoint(checkpoint, state)
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-    return model, variables
+    import jax
+    # stage on device once: numpy jit args re-transfer per call (the
+    # flagship tree is ~166 MB — per-call transfer dominates on a
+    # tunneled chip)
+    return model, jax.device_put(variables)
 
 
 def inference_detector(model, variables, imgs: Union[str, Sequence],
@@ -81,7 +85,15 @@ def inference_detector(model, variables, imgs: Union[str, Sequence],
     sample = pipe(results)
     batch = {k: np.asarray(v)[None] for k, v in sample.items()
              if k in ("img", "img_shape", "scale_factor")}
-    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(
-        variables, batch)
+    infer = _infer_jit_cache.get(id(model))
+    if infer is None:
+        infer = jax.jit(lambda v, b: model.apply(v, b, train=False))
+        _infer_jit_cache[id(model)] = infer
+    out = infer(variables, batch)
     out = jax.tree.map(lambda x: np.asarray(x)[0], out)
     return out
+
+
+# per-model jit cache: a fresh lambda per call would re-trace every
+# invocation (the persistent XLA cache removes the compile, not the trace)
+_infer_jit_cache: dict = {}

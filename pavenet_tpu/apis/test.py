@@ -75,6 +75,13 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
     if mesh is not None:
         from ..parallel.mesh import put_batch, replicate
         variables = jax.device_put(variables, replicate(mesh))
+    else:
+        # stage the variables on device ONCE: a checkpoint-restored tree
+        # is host numpy, and numpy jit arguments re-transfer on EVERY
+        # call — ~166 MB/clip over the axon tunnel for the flagship,
+        # the dominant term of the round-4/5 eval-CLI host overhead
+        # (PERF_NOTES "Round 5: eval CLI decomposition")
+        variables = jax.device_put(variables)
     prep = _make_prep(img_norm)
     multi_scale = bool(aug_scales) and (
         len(aug_scales) > 1 or float(aug_scales[0]) != 1.0)
@@ -100,15 +107,57 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
             v, prep(b), method="forward_test_flip"))
     else:
         infer = jax.jit(lambda v, b: model.apply(v, prep(b), train=False))
+
+    # pack the four detection fields into ONE flat f32 array in-jit and
+    # fetch it with a single host round trip: each per-array np.asarray
+    # over the axon tunnel costs a full RTT (~70 ms measured), and the
+    # 4-field fetch was 291 of the ~306 ms/clip steady-state eval loop
+    # (PERF_NOTES "Round 5: eval CLI decomposition").  The multi-scale
+    # TTA branch keeps the per-field fetch (its host-side rescale defeats
+    # shape tracing).
+    import jax.numpy as jnp
+
+    def _packed(v, b):
+        out = infer(v, b)
+        B = out["det_kpts"].shape[0]
+        return jnp.concatenate(
+            [out["det_kpts"].reshape(B, -1).astype(jnp.float32),
+             out["det_bboxes"].reshape(B, -1).astype(jnp.float32),
+             out["det_labels"].astype(jnp.float32),
+             out["keep"].astype(jnp.float32)], axis=-1)
+
+    packed = None if multi_scale else jax.jit(_packed)
+    shapes = None  # per-field ShapeDtypeStructs, traced once (no device work)
+
+    def unpack(flat):
+        o, out = 0, {}
+        for k in ("det_kpts", "det_bboxes", "det_labels", "keep"):
+            s = shapes[k].shape
+            size = int(np.prod(s[1:]))
+            field = flat[:, o:o + size].reshape(flat.shape[0], *s[1:])
+            o += size
+            out[k] = field.astype(shapes[k].dtype)
+        return out
+
     detections: List[dict] = []
-    t_total, n_clips = 0.0, 0
+    t_total, t_first, n_clips, n_steady = 0.0, None, 0, 0
     for batch in loader:
         feed = {k: batch[k] for k in ("img", "img_shape", "scale_factor")}
         if mesh is not None and not multi_scale:
             feed = put_batch(feed, mesh)
         t0 = time.time()
-        out = jax.tree.map(np.asarray, infer(variables, feed))
-        t_total += time.time() - t0
+        if packed is None:
+            out = jax.tree.map(np.asarray, infer(variables, feed))
+        else:
+            if shapes is None:
+                shapes = jax.eval_shape(infer, variables, feed)
+            out = unpack(np.asarray(packed(variables, feed)))
+        dt = time.time() - t0
+        if t_first is None:
+            t_first = dt          # includes compile; reported separately
+        else:
+            t_total += dt
+            n_steady += len(batch["img"])
         n_clips += len(batch["img"])
         row_valid = batch.get("_row_valid",
                               np.ones(len(batch["img"]), bool))
@@ -128,8 +177,11 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
                     score=float(scores[m]),
                 ))
     if logger is not None and n_clips:
+        steady = (t_total / n_steady * 1e3 if n_steady
+                  else (t_first or 0.0) * 1e3)
         logger.info(f"inference: {n_clips} clips, "
-                    f"{t_total / n_clips * 1e3:.1f} ms/clip (incl. host)")
+                    f"{steady:.1f} ms/clip steady-state (incl. host; "
+                    f"first clip {t_first:.1f}s incl. compile)")
     return detections
 
 
@@ -149,6 +201,8 @@ def run_det_inference(model, variables, loader, score_thr: float = 0.05,
     if mesh is not None:
         from ..parallel.mesh import put_batch, replicate
         variables = jax.device_put(variables, replicate(mesh))
+    else:
+        variables = jax.device_put(variables)  # once, not per clip
     detections: List[dict] = []
     for batch in loader:
         keys = ("img", "img_shape", "scale_factor")

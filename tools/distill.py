@@ -127,6 +127,12 @@ def main():
     # cumulative_iters etc.) and rejects any mismatch, which is both fragile
     # and unnecessary here.
     teacher_vars = restore_variables(args.teacher_checkpoint)
+    # stage the teacher on device ONCE — a restored numpy tree passed as
+    # a per-step jit argument re-transfers every step (~166 MB for the
+    # flagship; PERF_NOTES "Round 5: eval CLI decomposition")
+    from pavenet_tpu.parallel.mesh import replicate
+    teacher_vars = jax.device_put(
+        teacher_vars, replicate(mesh) if mesh is not None else None)
     logger.info(f"teacher restored from {args.teacher_checkpoint} "
                 "(params + batch_stats only)")
 
