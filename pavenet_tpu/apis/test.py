@@ -141,24 +141,8 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
 
     detections: List[dict] = []
     t_total, t_first, n_clips, n_steady = 0.0, None, 0, 0
-    for batch in loader:
-        feed = {k: batch[k] for k in ("img", "img_shape", "scale_factor")}
-        if mesh is not None and not multi_scale:
-            feed = put_batch(feed, mesh)
-        t0 = time.time()
-        if packed is None:
-            out = jax.tree.map(np.asarray, infer(variables, feed))
-        else:
-            if shapes is None:
-                shapes = jax.eval_shape(infer, variables, feed)
-            out = unpack(np.asarray(packed(variables, feed)))
-        dt = time.time() - t0
-        if t_first is None:
-            t_first = dt          # includes compile; reported separately
-        else:
-            t_total += dt
-            n_steady += len(batch["img"])
-        n_clips += len(batch["img"])
+
+    def emit(out, batch):
         row_valid = batch.get("_row_valid",
                               np.ones(len(batch["img"]), bool))
         for b in range(len(batch["img"])):
@@ -176,6 +160,35 @@ def run_inference(model, variables, loader, score_thr: float = 0.0,
                     keypoints=kpts[m].reshape(-1).astype(float).tolist(),
                     score=float(scores[m]),
                 ))
+
+    # double-buffered loop: dispatch clip N+1 (async) before fetching
+    # clip N's packed detections, hiding the fetch round trip behind the
+    # next clip's device time.  The TTA branch stays synchronous.
+    pending = None  # (device handle, source batch)
+    t0 = time.time()
+    for batch in loader:
+        feed = {k: batch[k] for k in ("img", "img_shape", "scale_factor")}
+        if mesh is not None and not multi_scale:
+            feed = put_batch(feed, mesh)
+        if packed is None:
+            out = jax.tree.map(np.asarray, infer(variables, feed))
+            emit(out, batch)
+        else:
+            if shapes is None:
+                shapes = jax.eval_shape(infer, variables, feed)
+            handle = packed(variables, feed)
+            if pending is not None:
+                emit(unpack(np.asarray(pending[0])), pending[1])
+            pending = (handle, batch)
+        dt, t0 = time.time() - t0, time.time()
+        if t_first is None:
+            t_first = dt          # includes compile; reported separately
+        else:
+            t_total += dt
+            n_steady += len(batch["img"])
+        n_clips += len(batch["img"])
+    if pending is not None:
+        emit(unpack(np.asarray(pending[0])), pending[1])
     if logger is not None and n_clips:
         steady = (t_total / n_steady * 1e3 if n_steady
                   else (t_first or 0.0) * 1e3)
