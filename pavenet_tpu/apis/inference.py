@@ -17,11 +17,18 @@ from ..datasets.pipelines.transforms import (
 
 
 def init_detector(config: Union[str, Config],
-                  checkpoint: Optional[str] = None):
-    """Build a detector from config (+ optional checkpoint)."""
+                  checkpoint: Optional[str] = None,
+                  dtype: Optional[str] = None):
+    """Build a detector from config (+ optional checkpoint).
+
+    ``dtype``: 'f32'/'bf16' compute-dtype override; None follows the
+    config's ``act_dtype`` key (float32 parity default).
+    """
+    from ..models.builder import resolve_act_dtype
     if isinstance(config, str):
         config = Config.fromfile(config)
-    model = build_detector(config.model)
+    model = build_detector(config.model,
+                           dtype=resolve_act_dtype(config, dtype))
     variables = None
     if checkpoint is not None:
         if checkpoint.endswith(".pth"):

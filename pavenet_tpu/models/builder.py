@@ -68,6 +68,28 @@ def _loss_weight(head, key, default=0.0):
     return head.get(key, {}).get("loss_weight", default)
 
 
+_DTYPE_NAMES = {
+    "f32": jnp.float32, "float32": jnp.float32, "fp32": jnp.float32,
+    "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+}
+
+
+def resolve_act_dtype(cfg, override: Optional[str] = None):
+    """Activation/compute dtype for the model, as a CLI-facing policy.
+
+    ``override`` ('f32'/'bf16') wins; 'auto'/None falls back to the
+    config's top-level ``act_dtype`` key, then float32.  float32 is the
+    parity default (the reference runs fp32 end to end unless its mmcv
+    ``fp16`` hook is configured); 'bf16' is the TPU deployment mode the
+    headline bench numbers use (MXU-native, ~3x faster at the flagship
+    bucket — PERF_NOTES "Round 5: eval CLI act dtype").
+    """
+    if override and override != "auto":
+        return _DTYPE_NAMES[override]
+    name = (cfg or {}).get("act_dtype", "float32")
+    return _DTYPE_NAMES[str(name)]
+
+
 def build_detector(cfg: dict, train_cfg: Optional[dict] = None,
                    test_cfg: Optional[dict] = None,
                    dtype=jnp.float32):

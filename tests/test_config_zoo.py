@@ -183,3 +183,33 @@ def test_every_shipped_config_builds():
         cfg = Config.fromfile(f)
         assert "model" in cfg, f
         build_detector(cfg.model)
+
+
+def test_resolve_act_dtype_policy():
+    """CLI-facing compute-dtype policy: override > config act_dtype >
+    float32 parity default (tools/{train,test,distill}.py --dtype)."""
+    import jax.numpy as jnp
+
+    from pavenet_tpu.models.builder import resolve_act_dtype
+
+    assert resolve_act_dtype({}) is jnp.float32
+    assert resolve_act_dtype(None) is jnp.float32
+    assert resolve_act_dtype({"act_dtype": "bfloat16"}) is jnp.bfloat16
+    assert resolve_act_dtype({"act_dtype": "bf16"}) is jnp.bfloat16
+    # explicit override beats the config key either way
+    assert resolve_act_dtype({"act_dtype": "bfloat16"}, "f32") is jnp.float32
+    assert resolve_act_dtype({}, "bf16") is jnp.bfloat16
+    # 'auto' means "follow the config"
+    assert resolve_act_dtype({"act_dtype": "bf16"}, "auto") is jnp.bfloat16
+    cfg = _cfg("videopose/pavenet_tiny_debug.py")
+    assert resolve_act_dtype(cfg) is jnp.float32
+
+
+def test_config_builds_bf16_model():
+    """build_detector(dtype=bf16) must thread the compute dtype into the
+    flax modules (params stay f32 — checkpoints restore unchanged)."""
+    import jax.numpy as jnp
+
+    cfg = _cfg("videopose/pavenet_tiny_debug.py")
+    model = build_detector(cfg.model, dtype=jnp.bfloat16)
+    assert model.dtype == jnp.bfloat16

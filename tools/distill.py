@@ -46,6 +46,10 @@ def parse_args():
                    help="directory of batches baked by tools/bake_batches.py"
                         " (reuse the teacher's baked batches; zero host "
                         "aug cost per step)")
+    p.add_argument("--dtype", default="auto",
+                   choices=["auto", "f32", "bf16"],
+                   help="student/teacher compute dtype ('auto' follows "
+                        "the config's act_dtype)")
     p.add_argument("--compile-cache", default=None)
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
@@ -81,7 +85,7 @@ def main():
     enable_compilation_cache(args.compile_cache, cfg, logger)
 
     import jax
-    from pavenet_tpu.models.builder import build_detector
+    from pavenet_tpu.models.builder import build_detector, resolve_act_dtype
     from pavenet_tpu.apis.distill import (create_distill_state,
                                           make_distill_step)
     from pavenet_tpu.parallel.mesh import make_mesh, put_batch
@@ -92,11 +96,13 @@ def main():
                                               restore_variables)
 
     logger.info(f"devices: {jax.devices()}")
-    student = build_detector(cfg.model)
+    act_dtype = resolve_act_dtype(cfg, args.dtype)
+    logger.info(f"model compute dtype: {act_dtype.__name__}")
+    student = build_detector(cfg.model, dtype=act_dtype)
     teacher_model_cfg = copy.deepcopy(dict(cfg.model))
     teacher_model_cfg["bbox_head"]["transformer"]["encoder"]["mode"] = \
         "deformable"
-    teacher = build_detector(teacher_model_cfg)
+    teacher = build_detector(teacher_model_cfg, dtype=act_dtype)
     mesh = make_mesh()
 
     data_cfg = cfg.get("data", {})

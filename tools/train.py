@@ -55,6 +55,10 @@ def parse_args():
                         "batch's host copy — ~batch bytes/step, PERF_NOTES "
                         "round 5; relaunch with --auto-resume, or loop "
                         "tools/perf/train_segments.sh).  0 disables")
+    p.add_argument("--dtype", default="auto",
+                   choices=["auto", "f32", "bf16"],
+                   help="model compute dtype ('auto' follows the "
+                        "config's act_dtype; params/optimizer stay f32)")
     p.add_argument("--cfg-options", nargs="+", default=[])
     return p.parse_args()
 
@@ -97,7 +101,7 @@ def main():
     enable_compilation_cache(args.compile_cache, cfg, logger)
 
     import jax
-    from pavenet_tpu.models.builder import build_detector
+    from pavenet_tpu.models.builder import build_detector, resolve_act_dtype
     from pavenet_tpu.apis.train import (
         build_optimizer, create_train_state, make_train_step,
         build_lr_schedule)
@@ -108,7 +112,9 @@ def main():
 
     maybe_init_distributed(logger)
     logger.info(f"devices: {jax.devices()}")
-    model = build_detector(cfg.model)
+    act_dtype = resolve_act_dtype(cfg, args.dtype)
+    logger.info(f"model compute dtype: {act_dtype.__name__}")
+    model = build_detector(cfg.model, dtype=act_dtype)
     mesh = make_mesh()
     n_dev = jax.local_device_count()  # per-process batch slice
 
